@@ -1,0 +1,4 @@
+from .affinity import AffinityNet  # noqa: F401
+from .vfe import voxel_mean_vfe  # noqa: F401
+from .rpn import RPN, SharedConv  # noqa: F401
+from .shasta import ShastaModel, ShastaConfig  # noqa: F401

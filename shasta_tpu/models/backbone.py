@@ -1,0 +1,171 @@
+"""Sparse 3D ResNet backbone (SpMiddleResNetFHD equivalent) for TPU.
+
+Behavioral reference: det3d/models/backbones/scn.py:99-211. Stage layout:
+  conv_input: SubM 5->16 (k3)          grid [42, 1440, 1440] (z+1 pad row)
+  conv1: 2x SparseBasicBlock(16)        indice_key res0
+  conv2: SparseConv s2 16->32 + 2 blocks  -> [21, 720, 720]
+  conv3: SparseConv s2 32->64 + 2 blocks  -> [11, 360, 360]
+  conv4: SparseConv s2 p(0,1,1) 64->128 + 2 blocks -> [5, 180, 180]
+  extra: SparseConv k(3,1,1) s(2,1,1) 128->128     -> [2, 180, 180]
+  dense + reshape (B, H, W, D*C=256)    (scn.py:196-201, NHWC here)
+
+All convs run as gather+matmul over fixed-capacity voxel sets
+(shasta_tpu.ops.sparse); neighbor indices are built once per position set
+and shared across the convs of a stage, mirroring spconv's indice_key reuse.
+Voxel capacities per stage are static compile-time caps.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import sparse as sp
+
+
+class SparseBN(nn.Module):
+    """BatchNorm1d over valid voxel rows, flax-style collections.
+
+    Matches torch BN1d(eps=1e-3, momentum=0.01) (scn.py:67). When train=True
+    uses masked batch stats (psum-synced over `axis_name` if set — the TPU
+    SyncBN) and updates running stats; otherwise applies running stats.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, feats, valid, train: bool = False):
+        C = feats.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((C,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((C,)))
+        if train:
+            mean, var = sp.masked_batch_stats(feats, valid, self.axis_name)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        return sp.masked_batch_norm(feats, valid, scale, bias, mean, var, self.epsilon)
+
+
+class SubMConv(nn.Module):
+    """Submanifold conv; weight (K, C_in, C_out) with (dz, dy, dx) tap order."""
+
+    features: int
+    kernel: Sequence[int] = (3, 3, 3)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, st: sp.SparseTensor, index: sp.NeighborIndex) -> sp.SparseTensor:
+        K = int(self.kernel[0] * self.kernel[1] * self.kernel[2])
+        C = st.feats.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (K, C, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return sp.subm_conv_apply(st, index, w, b)
+
+
+class SparseBasicBlock(nn.Module):
+    """Residual block (scn.py:52-95): conv-bn-relu-conv-bn + id, relu."""
+
+    planes: int
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, st, index, train: bool = False):
+        identity = st.feats
+        out = SubMConv(self.planes, name="conv1")(st, index)
+        f = SparseBN(axis_name=self.bn_axis_name, name="bn1")(out.feats, out.valid, train)
+        f = nn.relu(f)
+        out = SubMConv(self.planes, name="conv2")(out._replace(feats=f), index)
+        f = SparseBN(axis_name=self.bn_axis_name, name="bn2")(out.feats, out.valid, train)
+        f = nn.relu(f + identity)
+        f = jnp.where(out.valid[:, None], f, 0.0)
+        return out._replace(feats=f)
+
+
+class StridedConvBNReLU(nn.Module):
+    features: int
+    kernel: Sequence[int]
+    stride: Sequence[int]
+    padding: Sequence[int]
+    max_out: int
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, st, train: bool = False):
+        plan = sp.build_strided_plan(st, self.kernel, self.stride, self.padding, self.max_out)
+        K = int(self.kernel[0] * self.kernel[1] * self.kernel[2])
+        C = st.feats.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (K, C, self.features),
+        )
+        out = sp.strided_conv_apply(st, plan, w, None)  # bias=False (scn.py:126)
+        f = SparseBN(axis_name=self.bn_axis_name, name="bn")(out.feats, out.valid, train)
+        return out._replace(feats=nn.relu(f))
+
+
+class SparseBackbone(nn.Module):
+    """SpMiddleResNetFHD on TPU. Returns dense NHWC BEV map (B, H, W, D*C)."""
+
+    num_input_features: int = 5
+    # Static voxel capacities after each strided stage (compile-time).
+    cap_conv2: int = 60000
+    cap_conv3: int = 30000
+    cap_conv4: int = 15000
+    cap_extra: int = 15000
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, st: sp.SparseTensor, train: bool = False) -> jnp.ndarray:
+        bn = dict(bn_axis_name=self.bn_axis_name)
+
+        # conv_input + conv1 share position set "res0".
+        idx0 = sp.build_subm_index(st)
+        w = self.param(
+            "conv_input_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (27, self.num_input_features, 16),
+        )
+        x = sp.subm_conv_apply(st, idx0, w, None)  # bias=False (scn.py:114)
+        f = SparseBN(axis_name=self.bn_axis_name, name="conv_input_bn")(x.feats, x.valid, train)
+        x = x._replace(feats=nn.relu(f))
+        x = SparseBasicBlock(16, **bn, name="res0a")(x, idx0, train)
+        x = SparseBasicBlock(16, **bn, name="res0b")(x, idx0, train)
+
+        # conv2
+        x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, name="down1")(x, train)
+        idx1 = sp.build_subm_index(x)
+        x = SparseBasicBlock(32, **bn, name="res1a")(x, idx1, train)
+        x = SparseBasicBlock(32, **bn, name="res1b")(x, idx1, train)
+
+        # conv3
+        x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, name="down2")(x, train)
+        idx2 = sp.build_subm_index(x)
+        x = SparseBasicBlock(64, **bn, name="res2a")(x, idx2, train)
+        x = SparseBasicBlock(64, **bn, name="res2b")(x, idx2, train)
+
+        # conv4 (z unpadded: padding (0,1,1), scn.py:146)
+        x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, name="down3")(x, train)
+        idx3 = sp.build_subm_index(x)
+        x = SparseBasicBlock(128, **bn, name="res3a")(x, idx3, train)
+        x = SparseBasicBlock(128, **bn, name="res3b")(x, idx3, train)
+
+        # extra_conv: (3,1,1) stride (2,1,1) pad 0 (scn.py:155-161)
+        x = StridedConvBNReLU(128, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.cap_extra, **bn, name="extra")(x, train)
+
+        dense = sp.to_dense(x)  # (B, D, H, W, C)
+        B, D, H, W, C = dense.shape
+        # torch views (N, C, D, H, W) as (N, C*D, H, W): channel index c*D+d
+        # (scn.py:200-201). NHWC equivalent: (B, H, W, C, D) then flatten.
+        return jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(B, H, W, C * D)

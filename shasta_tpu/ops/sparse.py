@@ -1,0 +1,301 @@
+"""Sparse 3D convolution for TPU: gather -> matmul (MXU) -> fixed-shape sets.
+
+Replaces the external spconv CUDA dependency used by the reference backbone
+(det3d/models/backbones/scn.py:3-10, SubMConv3d/SparseConv3d). Design:
+
+- A sparse tensor is a fixed-capacity set: features (V, C), coords (V, 4)
+  int32 [b, z, y, x], and a validity count/mask. All shapes static.
+- Voxel positions are encoded as int32 linear keys and kept sorted; neighbor
+  lookup is a vectorized binary search (jnp.searchsorted) over the sorted
+  keys — the TPU-native analogue of spconv's GPU hash tables.
+- A KxKxK convolution is an im2col gather of neighbor features into
+  (V, K^3*C_in) followed by ONE large matmul with the (K^3*C_in, C_out)
+  kernel — shaped for the MXU instead of 27 scalar-indexed scatter-adds.
+- Submanifold convs (stride 1) keep the input position set; strided convs
+  compute the exact spconv output set (every position whose receptive field
+  touches an active input) via masked candidate enumeration + fixed-shape
+  dedup (sort + head-flag + compaction).
+
+Invalid (padded) rows always carry the sentinel key INT32_MAX so they sort
+last and never match a neighbor lookup.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+class SparseTensor(NamedTuple):
+    """Fixed-capacity sparse 3D tensor (batched)."""
+
+    feats: jnp.ndarray  # (V, C) float
+    coords: jnp.ndarray  # (V, 4) int32 [b, z, y, x]; arbitrary for invalid rows
+    valid: jnp.ndarray  # (V,) bool
+    shape: tuple[int, int, int]  # static (Z, Y, X) grid dims
+    batch_size: int  # static
+
+    @property
+    def capacity(self) -> int:
+        return self.feats.shape[0]
+
+
+def encode_keys(coords: jnp.ndarray, valid: jnp.ndarray, shape, batch_size) -> jnp.ndarray:
+    """Linear int32 keys; invalid rows -> SENTINEL. coords (V, 4) [b,z,y,x]."""
+    Z, Y, X = shape
+    assert batch_size * Z * Y * X < 2**31, "grid too large for int32 keys"
+    b, z, y, x = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
+    key = ((b * Z + z) * Y + y) * X + x
+    return jnp.where(valid, key, SENTINEL)
+
+
+def _sorted_lookup(sorted_keys: jnp.ndarray, perm: jnp.ndarray, query: jnp.ndarray):
+    """Find indices of query keys in the original array; miss -> capacity.
+
+    sorted_keys: (V,) ascending with SENTINEL tail; perm: argsort indices.
+    Returns (Q,) int32 in [0, V] where V means "not found" (zero-pad row).
+    """
+    V = sorted_keys.shape[0]
+    pos = jnp.searchsorted(sorted_keys, query, side="left")
+    pos = jnp.clip(pos, 0, V - 1)
+    found = (sorted_keys[pos] == query) & (query != SENTINEL)
+    return jnp.where(found, perm[pos], V).astype(jnp.int32)
+
+
+class NeighborIndex(NamedTuple):
+    """Precomputed gather indices for one position set & kernel geometry.
+
+    gather: (V, K) int32 indices into the *input* feature rows, V_in meaning
+    "no neighbor" (gathers a zero row). Shared by every conv with the same
+    indice_key, like spconv's index caching (scn.py indice_key="res0"...).
+    """
+
+    gather: jnp.ndarray
+
+
+def build_subm_index(st: SparseTensor, kernel: Sequence[int] = (3, 3, 3)) -> NeighborIndex:
+    """Submanifold neighbor indices: output positions == input positions."""
+    kz, ky, kx = kernel
+    pz, py, px = kz // 2, ky // 2, kx // 2
+    Z, Y, X = st.shape
+    keys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+    perm = jnp.argsort(keys)
+    sorted_keys = keys[perm]
+
+    offsets = np.stack(
+        np.meshgrid(
+            np.arange(kz) - pz, np.arange(ky) - py, np.arange(kx) - px, indexing="ij"
+        ),
+        axis=-1,
+    ).reshape(-1, 3)  # (K, 3) in (dz, dy, dx) raster order
+
+    b = st.coords[:, 0]
+    zyx = st.coords[:, 1:4]
+    cols = []
+    for off in offsets:
+        n = zyx + jnp.asarray(off, jnp.int32)
+        in_range = (
+            (n[:, 0] >= 0) & (n[:, 0] < Z)
+            & (n[:, 1] >= 0) & (n[:, 1] < Y)
+            & (n[:, 2] >= 0) & (n[:, 2] < X)
+            & st.valid
+        )
+        nc = jnp.concatenate([b[:, None], n], axis=1)
+        qk = encode_keys(nc, in_range, st.shape, st.batch_size)
+        cols.append(_sorted_lookup(sorted_keys, perm, qk))
+    return NeighborIndex(gather=jnp.stack(cols, axis=1))  # (V, K)
+
+
+def subm_conv_apply(
+    st: SparseTensor,
+    index: NeighborIndex,
+    weight: jnp.ndarray,  # (K, C_in, C_out)
+    bias: jnp.ndarray | None = None,
+) -> SparseTensor:
+    """Apply a submanifold conv given precomputed neighbor indices."""
+    V, C = st.feats.shape
+    K = weight.shape[0]
+    padded = jnp.concatenate([st.feats, jnp.zeros((1, C), st.feats.dtype)], axis=0)
+    gathered = padded[index.gather]  # (V, K, C)
+    out = jax.lax.dot_general(
+        gathered.reshape(V, K * C),
+        weight.reshape(K * C, -1),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(st.valid[:, None], out, 0.0)
+    return st._replace(feats=out)
+
+
+class StridedPlan(NamedTuple):
+    """Output position set + gather indices for one strided sparse conv."""
+
+    coords: jnp.ndarray  # (V_out, 4)
+    valid: jnp.ndarray  # (V_out,)
+    gather: jnp.ndarray  # (V_out, K) indices into input rows (V_in = miss)
+    out_shape: tuple[int, int, int]
+
+
+def build_strided_plan(
+    st: SparseTensor,
+    kernel: Sequence[int],
+    stride: Sequence[int],
+    padding: Sequence[int],
+    max_out: int,
+) -> StridedPlan:
+    """Exact spconv output set for SparseConv3d (scn.py conv2/3/4/extra).
+
+    An output position o is active iff some active input lies at
+    in = o*s + k - p for a kernel tap k. We enumerate, per input voxel, all
+    K candidate outputs o = (in + p - k)/s (masked to integral, in-range),
+    dedupe via sort, and compact into a fixed (max_out,) set.
+    """
+    kz, ky, kx = kernel
+    sz, sy, sx = stride
+    pz, py, px = padding
+    Z, Y, X = st.shape
+    OZ = (Z + 2 * pz - kz) // sz + 1
+    OY = (Y + 2 * py - ky) // sy + 1
+    OX = (X + 2 * px - kx) // sx + 1
+    out_shape = (OZ, OY, OX)
+
+    offsets = np.stack(
+        np.meshgrid(np.arange(kz), np.arange(ky), np.arange(kx), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    K = offsets.shape[0]
+
+    b = st.coords[:, 0]
+    zyx = st.coords[:, 1:4]
+    strides = jnp.asarray([sz, sy, sx], jnp.int32)
+    pads = jnp.asarray([pz, py, px], jnp.int32)
+    out_dims = jnp.asarray(out_shape, jnp.int32)
+
+    cand_keys = []
+    for off in offsets:
+        num = zyx + pads - jnp.asarray(off, jnp.int32)
+        o = num // strides
+        ok = (
+            jnp.all(num % strides == 0, axis=1)
+            & jnp.all(o >= 0, axis=1)
+            & jnp.all(o < out_dims, axis=1)
+            & st.valid
+        )
+        oc = jnp.concatenate([b[:, None], o], axis=1)
+        cand_keys.append(encode_keys(oc, ok, out_shape, st.batch_size))
+    cand = jnp.concatenate(cand_keys)  # (V*K,)
+
+    s = jnp.sort(cand)
+    head = (s != jnp.concatenate([jnp.full((1,), -1, s.dtype), s[:-1]])) & (s != SENTINEL)
+    pos = jnp.cumsum(head) - 1
+    out_keys = jnp.full((max_out,), SENTINEL, jnp.int32)
+    write = head & (pos < max_out)
+    out_keys = out_keys.at[jnp.where(write, pos, max_out)].set(
+        jnp.where(write, s, SENTINEL), mode="drop"
+    )
+    out_valid = out_keys != SENTINEL
+
+    # Decode output coords from keys.
+    k = jnp.where(out_valid, out_keys, 0)
+    ox = k % OX
+    k = k // OX
+    oy = k % OY
+    k = k // OY
+    oz = k % OZ
+    ob = k // OZ
+    out_coords = jnp.stack([ob, oz, oy, ox], axis=1).astype(jnp.int32)
+
+    # Gather indices: input at in = o*s + k - p for each tap.
+    in_keys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+    perm = jnp.argsort(in_keys)
+    sorted_in = in_keys[perm]
+    cols = []
+    for off in offsets:
+        ic = out_coords[:, 1:4] * strides + jnp.asarray(off, jnp.int32) - pads
+        in_range = (
+            (ic[:, 0] >= 0) & (ic[:, 0] < Z)
+            & (ic[:, 1] >= 0) & (ic[:, 1] < Y)
+            & (ic[:, 2] >= 0) & (ic[:, 2] < X)
+            & out_valid
+        )
+        qc = jnp.concatenate([out_coords[:, :1], ic], axis=1)
+        qk = encode_keys(qc, in_range, st.shape, st.batch_size)
+        cols.append(_sorted_lookup(sorted_in, perm, qk))
+    gather = jnp.stack(cols, axis=1)  # (V_out, K)
+    return StridedPlan(out_coords, out_valid, gather, out_shape)
+
+
+def strided_conv_apply(
+    st: SparseTensor,
+    plan: StridedPlan,
+    weight: jnp.ndarray,  # (K, C_in, C_out)
+    bias: jnp.ndarray | None = None,
+) -> SparseTensor:
+    V_out = plan.gather.shape[0]
+    K, C, Co = weight.shape
+    padded = jnp.concatenate([st.feats, jnp.zeros((1, C), st.feats.dtype)], axis=0)
+    gathered = padded[plan.gather]  # (V_out, K, C)
+    out = jax.lax.dot_general(
+        gathered.reshape(V_out, K * C),
+        weight.reshape(K * C, Co),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(plan.valid[:, None], out, 0.0)
+    return SparseTensor(
+        feats=out,
+        coords=plan.coords,
+        valid=plan.valid,
+        shape=plan.out_shape,
+        batch_size=st.batch_size,
+    )
+
+
+def to_dense(st: SparseTensor) -> jnp.ndarray:
+    """Scatter to dense (B, Z, Y, X, C) (spconv .dense(), scn.py:196)."""
+    Z, Y, X = st.shape
+    C = st.feats.shape[1]
+    dense = jnp.zeros((st.batch_size, Z, Y, X, C), st.feats.dtype)
+    b, z, y, x = (st.coords[:, i] for i in range(4))
+    b = jnp.where(st.valid, b, st.batch_size)  # drop invalid rows
+    return dense.at[b, z, y, x].set(st.feats, mode="drop")
+
+
+def masked_batch_norm(
+    feats: jnp.ndarray,
+    valid: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    """BatchNorm1d inference transform over valid voxel rows (scn.py BN1d)."""
+    inv = scale * jax.lax.rsqrt(var + eps)
+    out = (feats - mean) * inv + bias
+    return jnp.where(valid[:, None], out, 0.0)
+
+
+def masked_batch_stats(feats: jnp.ndarray, valid: jnp.ndarray, axis_name: str | None = None):
+    """Batch mean/var over valid rows; psum across `axis_name` if given
+    (the TPU equivalent of apex SyncBN, train.py:155)."""
+    m = valid.astype(feats.dtype)[:, None]
+    cnt = jnp.sum(m)
+    s = jnp.sum(feats * m, axis=0)
+    sq = jnp.sum(feats * feats * m, axis=0)
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        s = jax.lax.psum(s, axis_name)
+        sq = jax.lax.psum(sq, axis_name)
+    cnt = jnp.maximum(cnt, 1.0)
+    mean = s / cnt
+    var = sq / cnt - mean * mean
+    return mean, var

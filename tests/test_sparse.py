@@ -1,0 +1,147 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from shasta_tpu.ops import sparse as sp
+
+
+def _make_sparse(rng, B=2, shape=(6, 10, 10), n=40, C=4, cap=64):
+    Z, Y, X = shape
+    coords = set()
+    while len(coords) < n:
+        coords.add(
+            (
+                int(rng.integers(B)),
+                int(rng.integers(Z)),
+                int(rng.integers(Y)),
+                int(rng.integers(X)),
+            )
+        )
+    coords = np.array(sorted(coords), np.int32)
+    feats = rng.normal(size=(n, C)).astype(np.float32)
+    pad_c = np.zeros((cap - n, 4), np.int32)
+    pad_f = np.zeros((cap - n, C), np.float32)
+    st = sp.SparseTensor(
+        feats=jnp.array(np.concatenate([feats, pad_f])),
+        coords=jnp.array(np.concatenate([coords, pad_c])),
+        valid=jnp.array(np.arange(cap) < n),
+        shape=shape,
+        batch_size=B,
+    )
+    return st, coords, feats
+
+
+def _densify(st, coords, feats):
+    B = st.batch_size
+    Z, Y, X = st.shape
+    C = feats.shape[1]
+    d = np.zeros((B, Z, Y, X, C), np.float32)
+    for (b, z, y, x), f in zip(coords, feats):
+        d[b, z, y, x] = f
+    return d
+
+
+def _dense_conv3d(x, w, stride, padding):
+    # x: (B, Z, Y, X, C); w: (kz, ky, kx, Cin, Cout)
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=[(p, p) for p in padding],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def test_subm_conv_matches_dense(rng):
+    st, coords, feats = _make_sparse(rng)
+    C, Co = 4, 6
+    w = rng.normal(size=(27, C, Co)).astype(np.float32) * 0.2
+    b = rng.normal(size=(Co,)).astype(np.float32)
+    idx = sp.build_subm_index(st)
+    out = sp.subm_conv_apply(st, idx, jnp.array(w), jnp.array(b))
+
+    dense = _densify(st, coords, feats)
+    wd = w.reshape(3, 3, 3, C, Co)
+    ref = np.asarray(_dense_conv3d(jnp.array(dense), jnp.array(wd), (1, 1, 1), (1, 1, 1)))
+    # submanifold: compare at active positions only
+    got = np.asarray(out.feats)
+    for i, (bb, z, y, x) in enumerate(coords):
+        np.testing.assert_allclose(got[i], ref[bb, z, y, x] + b, rtol=1e-4, atol=1e-4)
+    # padded rows zero
+    assert np.all(got[len(coords):] == 0)
+
+
+def test_strided_conv_matches_dense(rng):
+    st, coords, feats = _make_sparse(rng, shape=(7, 11, 9), n=50, cap=64)
+    C, Co = 4, 5
+    w = rng.normal(size=(27, C, Co)).astype(np.float32) * 0.2
+    plan = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1), max_out=128)
+    out = sp.strided_conv_apply(st, plan, jnp.array(w))
+
+    dense = _densify(st, coords, feats)
+    wd = w.reshape(3, 3, 3, C, Co)
+    ref = np.asarray(_dense_conv3d(jnp.array(dense), jnp.array(wd), (2, 2, 2), (1, 1, 1)))
+
+    oc = np.asarray(out.coords)
+    ov = np.asarray(out.valid)
+    got = np.asarray(out.feats)
+    # 1. every active output matches the dense conv
+    for i in np.nonzero(ov)[0]:
+        b, z, y, x = oc[i]
+        np.testing.assert_allclose(got[i], ref[b, z, y, x], rtol=1e-4, atol=1e-4)
+    # 2. exact spconv active-set semantics: the active set is all outputs
+    # whose receptive field touches >=1 input voxel
+    expect = set()
+    Z, Y, X = st.shape
+    OZ, OY, OX = plan.out_shape
+    for (b, z, y, x) in coords:
+        for kz in range(3):
+            for ky in range(3):
+                for kx in range(3):
+                    num = np.array([z, y, x]) + 1 - np.array([kz, ky, kx])
+                    if np.all(num % 2 == 0):
+                        o = num // 2
+                        if np.all(o >= 0) and o[0] < OZ and o[1] < OY and o[2] < OX:
+                            expect.add((b, o[0], o[1], o[2]))
+    got_set = {tuple(oc[i]) for i in np.nonzero(ov)[0]}
+    assert got_set == expect
+    # 3. everywhere else in the dense conv output is exactly zero
+    mask = np.zeros(ref.shape[:4], bool)
+    for (b, z, y, x) in got_set:
+        mask[b, z, y, x] = True
+    assert np.allclose(ref[~mask], 0.0)
+
+
+def test_asymmetric_kernel_conv(rng):
+    # the extra_conv geometry: kernel (3,1,1), stride (2,1,1), pad 0
+    st, coords, feats = _make_sparse(rng, shape=(5, 6, 6), n=30, cap=40)
+    C, Co = 4, 4
+    w = rng.normal(size=(3, C, Co)).astype(np.float32) * 0.3
+    plan = sp.build_strided_plan(st, (3, 1, 1), (2, 1, 1), (0, 0, 0), max_out=64)
+    out = sp.strided_conv_apply(st, plan, jnp.array(w))
+
+    dense = _densify(st, coords, feats)
+    wd = w.reshape(3, 1, 1, C, Co)
+    ref = np.asarray(_dense_conv3d(jnp.array(dense), jnp.array(wd), (2, 1, 1), (0, 0, 0)))
+    oc = np.asarray(out.coords)
+    ov = np.asarray(out.valid)
+    got = np.asarray(out.feats)
+    assert plan.out_shape == (2, 6, 6)
+    for i in np.nonzero(ov)[0]:
+        b, z, y, x = oc[i]
+        np.testing.assert_allclose(got[i], ref[b, z, y, x], rtol=1e-4, atol=1e-4)
+
+
+def test_to_dense_roundtrip(rng):
+    st, coords, feats = _make_sparse(rng)
+    d = np.asarray(sp.to_dense(st))
+    ref = _densify(st, coords, feats)
+    np.testing.assert_allclose(d, ref)
+
+
+def test_masked_batch_stats(rng):
+    feats = rng.normal(size=(32, 8)).astype(np.float32)
+    valid = np.arange(32) < 20
+    mean, var = sp.masked_batch_stats(jnp.array(feats), jnp.array(valid))
+    np.testing.assert_allclose(np.asarray(mean), feats[:20].mean(0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), feats[:20].var(0), atol=1e-5)

@@ -1,0 +1,94 @@
+"""Benchmark: tracked frames/sec/chip on the flagship inference path.
+
+Measures the per-frame scene-inference step at nuScenes-car scale on one
+TPU chip: sparse trunk over a full 10-sweep point-cloud frame (120k voxel
+budget) -> BEV descriptor sampling -> affinity forward (max_obj=90) ->
+vectorized decision rules. Detections per frame: 60 real of 90 padded.
+
+The previous frame's descriptors are carried (scene-scan design), so the
+trunk runs once per frame — unlike the reference, which recomputes both
+frames' backbones per pair at batch 1 (shasta.py:197-203, eval.py:96-113).
+
+Baseline note: the reference repo publishes NO throughput number
+(BASELINE.md: "measured and printed at runtime"). vs_baseline below uses
+an estimated 20 frames/sec for the reference's GPU affinity+backbone eval
+step (batch 1, two spconv backbone passes/frame on a CUDA 11-era GPU) —
+the north star in BASELINE.json is >=20x that on one chip.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_FPS_ESTIMATE = 20.0
+
+
+def main():
+    from shasta_tpu.models import ShastaModel, ShastaConfig
+    from shasta_tpu.data.synthetic import make_batch
+    from shasta_tpu.tracker.decision import apply_decision_rules
+
+    cfg = ShastaConfig(
+        max_obj=90,
+        cap_conv2=50000,
+        cap_conv3=25000,
+        cap_conv4=12000,
+        cap_extra=12000,
+    )
+    model = ShastaModel(cfg)
+    V = 120000
+    batch = make_batch(cfg, batch_size=1, num_voxels_cap=V, n_dets=60, seed=0)
+    frame = {
+        k: jnp.asarray(batch[k])
+        for k in ("voxels", "num_points", "coordinates", "voxels_valid", "det_boxes")
+    }
+    prev_boxes = jnp.asarray(batch["prev_det_boxes"])
+    frame_init = dict(batch)  # full pair batch for variable-shape discovery
+
+    # shape-only init (eager init would run thousands of ops through the
+    # remote-TPU tunnel); zeros are fine for throughput measurement
+    var_shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), frame_init, train=False)
+    )
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), var_shapes)
+
+    @jax.jit
+    def step(variables, frame, prev_boxes, prev_feat):
+        curr_feat = model.apply(variables, frame, train=False, method=ShastaModel.frame_features)
+        m1, m2 = model.apply(
+            variables, prev_boxes, frame["det_boxes"], prev_feat, curr_feat,
+            method=ShastaModel.affinity_step,
+        )
+        dec = apply_decision_rules(m1[0], m2[0], jnp.int32(60), jnp.int32(60))
+        return curr_feat, dec.keep, dec.ref_score, m1
+
+    prev_feat = jnp.zeros((1, cfg.max_obj, 320), jnp.float32)
+    # warmup / compile
+    curr_feat, keep, ref, m1 = step(variables, frame, prev_boxes, prev_feat)
+    jax.block_until_ready(m1)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        curr_feat, keep, ref, m1 = step(variables, frame, prev_boxes, curr_feat)
+    jax.block_until_ready(m1)
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracked_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -165,7 +165,9 @@ class AffinityNet(nn.Module):
         fn_box = _abs_dims(self.aug_dets[3](prev_box_flat)[:, None, :])
 
         # --- velocity back-projection of curr centers, shasta.py:269-270 ---
-        curr_bp = curr_boxes7.at[..., :2].add(-curr_vel * curr_dt)
+        curr_bp = jnp.concatenate(
+            [curr_boxes7[..., :2] - curr_vel * curr_dt, curr_boxes7[..., 2:]], axis=-1
+        )
 
         # --- augmented box rows, shasta.py:273-274 ---
         boxes_t = jnp.concatenate([prev_boxes7, newborn_box, fp_box], axis=1)  # (B,T,7)

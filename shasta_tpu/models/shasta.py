@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -81,21 +82,40 @@ class ShastaModel(nn.Module):
     def bev_maps(self, batch: dict, train: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Run VFE + backbone + neck + shared conv on curr & prev as one batch.
 
-        batch keys (all fixed-shape): voxels (V,P,5), num_points (V,),
-        coords (V,4) [b,z,y,x], voxels_valid (V,), and prev_* mirrors.
-        Batch indices of prev coords are the sample index (0..B-1); they are
-        shifted by B here to share the trunk forward.
+        batch keys (all fixed-shape, per-sample leading axis so data-parallel
+        sharding is a plain leading-dim split):
+          voxels (B,V,P,5), num_points (B,V), coordinates (B,V,3) [z,y,x],
+          voxels_valid (B,V), and prev_* mirrors.
+        The two frames are flattened into ONE sparse batch of size 2B (curr
+        samples 0..B-1, prev samples B..2B-1) so the trunk runs once.
         """
-        B = batch["det_boxes"].shape[0]
+        B, V = batch["voxels"].shape[:2]
         c = self.cfg
-        feats = voxel_mean_vfe(batch["voxels"], batch["num_points"], c.num_input_features)
-        pfeats = voxel_mean_vfe(batch["prev_voxels"], batch["prev_num_points"], c.num_input_features)
-        coords = batch["coordinates"]
-        pcoords = batch["prev_coordinates"].at[:, 0].add(B)
+
+        def _flat(vox, nump, coords, valid, b_off):
+            feats = voxel_mean_vfe(
+                vox.reshape(B * V, *vox.shape[2:]),
+                nump.reshape(B * V),
+                c.num_input_features,
+            )
+            bidx = jax.lax.broadcasted_iota(jnp.int32, (B, V), 0) + b_off
+            cc = jnp.concatenate(
+                [bidx.reshape(B * V, 1), coords.reshape(B * V, 3)], axis=1
+            )
+            return feats, cc, valid.reshape(B * V)
+
+        f0, c0, v0 = _flat(
+            batch["voxels"], batch["num_points"], batch["coordinates"],
+            batch["voxels_valid"], 0,
+        )
+        f1, c1, v1 = _flat(
+            batch["prev_voxels"], batch["prev_num_points"],
+            batch["prev_coordinates"], batch["prev_voxels_valid"], B,
+        )
         st = sp.SparseTensor(
-            feats=jnp.concatenate([feats, pfeats], axis=0),
-            coords=jnp.concatenate([coords, pcoords], axis=0),
-            valid=jnp.concatenate([batch["voxels_valid"], batch["prev_voxels_valid"]], axis=0),
+            feats=jnp.concatenate([f0, f1], axis=0),
+            coords=jnp.concatenate([c0, c1], axis=0),
+            valid=jnp.concatenate([v0, v1], axis=0),
             shape=c.grid_shape,
             batch_size=2 * B,
         )
@@ -103,6 +123,59 @@ class ShastaModel(nn.Module):
         bev = self.neck(bev, train)  # (2B, H, W, 512)
         bev = self.shared_conv(bev, train)  # (2B, H, W, 64)
         return bev[:B], bev[B:]
+
+    def frame_features(self, frame: dict, train: bool = False) -> jnp.ndarray:
+        """Trunk + BEV descriptor sampling for ONE frame.
+
+        frame keys: voxels (B,V,P,5), num_points (B,V), coordinates (B,V,3),
+        voxels_valid (B,V), det_boxes (B,N,11). Returns (B, N, 320).
+
+        TPU-native scene inference: the reference recomputes BOTH frames'
+        BEV maps per frame pair (shasta.py:197-203, batch 1 at eval); here a
+        scene scan carries the previous frame's sampled descriptors so the
+        trunk runs once per frame — a 2x trunk-compute saving with
+        bit-identical affinities (same map, same sample points).
+        """
+        B, V = frame["voxels"].shape[:2]
+        c = self.cfg
+        feats = voxel_mean_vfe(
+            frame["voxels"].reshape(B * V, *frame["voxels"].shape[2:]),
+            frame["num_points"].reshape(B * V),
+            c.num_input_features,
+        )
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (B, V), 0)
+        coords = jnp.concatenate(
+            [bidx.reshape(B * V, 1), frame["coordinates"].reshape(B * V, 3)], axis=1
+        )
+        st = sp.SparseTensor(
+            feats=feats,
+            coords=coords,
+            valid=frame["voxels_valid"].reshape(B * V),
+            shape=c.grid_shape,
+            batch_size=B,
+        )
+        bev = self.backbone(st, train)
+        bev = self.neck(bev, train)
+        bev = self.shared_conv(bev, train)
+        pts = box_points_5(frame["det_boxes"][:, :, :7])
+        return sample_bev_features(bev, pts, c.pc_start, c.voxel_size, c.out_stride)
+
+    def affinity_step(
+        self,
+        prev_boxes11: jnp.ndarray,
+        curr_boxes11: jnp.ndarray,
+        prev_feat: jnp.ndarray,
+        curr_feat: jnp.ndarray,
+    ):
+        """Affinity matrices from boxes + (possibly carried) descriptors."""
+        return self.affinity(
+            prev_boxes11[:, :, :7],
+            curr_boxes11[:, :, :7],
+            curr_boxes11[:, :, 7:9],
+            curr_boxes11[:, :, 9:10],
+            prev_feat.astype(jnp.float32),
+            curr_feat.astype(jnp.float32),
+        )
 
     def __call__(self, batch: dict, train: bool = False):
         c = self.cfg

@@ -1,0 +1,160 @@
+"""Training step: masked bidirectional CE + optax + data-parallel shard_map.
+
+Behavioral reference: tools/nusc_shasta/train.py:141-224 —
+  Adam(lr=1e-4, weight_decay=1e-2) (torch Adam+L2, NOT AdamW),
+  optional OneCycle schedule (configs/nusc/car.py:223-229),
+  frozen BEV trunk (backbone + neck, train.py:184-191),
+  loss = mean of row-CE(matched1 | gt[:, :-2, :]) and
+         col-CE(matched2 | gt[:, :, :-2]), each normalized by the GT mass
+         (train.py:208-211).
+
+TPU-native distribution: instead of apex DDP + NCCL allreduce, the step is
+wrapped in ``shard_map`` over a 1-D 'data' mesh; each device computes grads
+on its local shard and ``psum``-averages them over ICI (exactly DDP's
+gradient mean). SyncBN (train.py:155) falls out of the same psum when the
+trunk's BatchNorm runs in train mode.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+
+EPS = 1e-10
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def bidirectional_ce(matched1: jnp.ndarray, matched2: jnp.ndarray, gt: jnp.ndarray):
+    """Masked bidirectional cross-entropy (train.py:201-211).
+
+    gt: (B, N+2, N+2) with rows = prev dets + [newborn, fp], cols = curr
+    dets + [dead, fn]. Zero rows/cols contribute nothing.
+    """
+    gt1 = gt[:, :-2, :]
+    gt2 = gt[:, :, :-2]
+    f = jnp.sum(gt1 * -jnp.log(matched1 + EPS))
+    b = jnp.sum(gt2 * -jnp.log(matched2 + EPS))
+    s1 = jnp.sum(gt1)
+    s2 = jnp.sum(gt2)
+    loss_f = jnp.where(s1 > 0, f / jnp.maximum(s1, 1.0), f)
+    loss_b = jnp.where(s2 > 0, b / jnp.maximum(s2, 1.0), b)
+    return (loss_f + loss_b) / 2.0
+
+
+def _param_labels(params, freeze_bev: bool):
+    def label(path, _):
+        top = path[0].key
+        if freeze_bev and top in ("backbone", "neck"):
+            return "frozen"
+        return "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    weight_decay: float = 1e-2,
+    freeze_bev: bool = True,
+    params=None,
+    schedule: optax.Schedule | None = None,
+    grad_clip_norm: float | None = None,
+) -> optax.GradientTransformation:
+    """torch Adam(+L2) equivalent with optional OneCycle + frozen trunk."""
+    lr = schedule if schedule is not None else learning_rate
+    chain = []
+    if grad_clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    # torch Adam weight_decay: L2 added to the grad BEFORE moment updates.
+    chain += [optax.add_decayed_weights(weight_decay), optax.scale_by_adam(),
+              optax.scale_by_learning_rate(lr)]
+    tx = optax.chain(*chain)
+    if freeze_bev:
+        assert params is not None, "freeze_bev needs params for labeling"
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            _param_labels(params, True),
+        )
+    return tx
+
+
+def one_cycle_schedule(total_steps: int, max_lr: float = 1e-3, pct_start: float = 0.4,
+                       div_factor: float = 10.0) -> optax.Schedule:
+    """torch OneCycleLR(cos) equivalent (configs/nusc/car.py:223-229)."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_steps,
+        peak_value=max_lr,
+        pct_start=pct_start,
+        div_factor=div_factor,
+        final_div_factor=1e4,
+    )
+
+
+def create_train_state(model, variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def make_train_step(model, tx, mesh: Mesh | None = None, axis: str = "data",
+                    bn_train: bool = False, donate: bool = True):
+    """Build the jitted train step; data-parallel over `mesh` if given."""
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if bn_train:
+            (m1, m2), updates = model.apply(
+                variables, batch, train=True, mutable=["batch_stats"]
+            )
+            new_stats = updates["batch_stats"]
+        else:
+            m1, m2 = model.apply(variables, batch, train=False)
+            new_stats = batch_stats
+        loss = bidirectional_ce(m1, m2, batch["gt"])
+        return loss, new_stats
+
+    def local_step(state: TrainState, batch):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            {"loss": loss},
+        )
+
+    if mesh is None:
+        return jax.jit(local_step, donate_argnums=(0,) if donate else ())
+
+    from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

@@ -18,15 +18,50 @@ the north star in BASELINE.json is >=20x that on one chip.
 from __future__ import annotations
 
 import json
+import multiprocessing
+import os
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 REFERENCE_FPS_ESTIMATE = 20.0
 
 
+def _probe_devices(q):
+    try:
+        import jax
+
+        q.put(str(jax.devices()))
+    except Exception as e:  # pragma: no cover
+        q.put(f"error: {e}")
+
+
+def ensure_backend_alive(timeout_s: float = 240.0) -> bool:
+    """The axon TPU is reached through a stdio relay that can die; probing
+    jax.devices() then hangs forever. Probe in a subprocess with a timeout
+    and fall back to CPU so the bench always terminates."""
+    ctx = multiprocessing.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=_probe_devices, args=(q,))
+    p.start()
+    p.join(timeout_s)
+    if p.is_alive():
+        p.kill()
+        return False
+    return not str(q.get()).startswith("error")
+
+
 def main():
+    fallback = False
+    if not ensure_backend_alive():
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        fallback = True
+    import jax
+    import jax.numpy as jnp
+
+    if fallback:
+        jax.config.update("jax_platforms", "cpu")
+        print("WARNING: TPU backend unreachable; benchmarking on CPU", file=sys.stderr)
+
     from shasta_tpu.models import ShastaModel, ShastaConfig
     from shasta_tpu.data.synthetic import make_batch
     from shasta_tpu.tracker.decision import apply_decision_rules
@@ -85,6 +120,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
+                "platform": jax.devices()[0].platform,
             }
         )
     )

@@ -1,0 +1,11 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _base import *  # noqa: F401,F403
+
+det_type = ["truck"]
+max_objects = 60
+fp_ratio = 1 / 2
+dead_trk_ratio = 1 / 2
+beta = 0.5
+
+model = dict(model, max_obj=max_objects)  # noqa: F405

@@ -1,0 +1,228 @@
+"""Affinity-eval + tracking runners shared by the tools CLIs.
+
+Behavioral reference: tools/nusc_shasta/eval.py:61-195 (per-pair affinity
+eval loop incl. FN propagation and retroactive dead marking),
+eval.py:197-305 (save_first_frame / track), validate.py:24-301.
+
+The decision rules themselves run vectorized on-device
+(shasta_tpu.tracker.decision); this module does the host-side assembly of
+nuScenes annotation dicts around them.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+from .decision import apply_decision_rules
+from .pub_tracker import PubTracker, PubTrackerMerged
+
+
+def run_affinity_eval(
+    forward: Callable[[dict], tuple[np.ndarray, np.ndarray]],
+    dataset,
+    fp_thresh: float = 0.7,
+    decision_thresh: float = 0.5,
+    progress: bool = False,
+) -> dict:
+    """Run the net pair-by-pair over `dataset`, apply decision rules, and
+    assemble the refined per-frame annotation lists (eval.py:103-193).
+
+    `forward(batch)` -> (matched1 (1,T-2,D), matched2 (1,T,D-2)).
+    """
+    import jax.numpy as jnp
+
+    from ..data.nuscenes import collate
+
+    nusc_annos: dict[str, Any] = {"results": {}, "meta": None}
+    dead_tracker: dict[str, dict] = {}
+
+    it = range(len(dataset))
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(it)
+        except ImportError:
+            pass
+
+    for i in it:
+        sample = dataset[i]
+        batch = collate([sample])
+        token = sample["token"]
+        dead_tracker.setdefault(token, {"dead_idx": [], "keep_idx": []})
+
+        cls_det_boxes = sample["cls_det_boxes"]
+        prev_cls = sample["prev_cls_det_boxes"]
+        n_prev, n_curr = len(prev_cls), len(cls_det_boxes)
+
+        m1, m2 = forward(batch)
+        dec = apply_decision_rules(
+            jnp.asarray(m1[0]), jnp.asarray(m2[0]),
+            jnp.int32(n_prev), jnp.int32(n_curr),
+            fp_thresh=fp_thresh, decision_thresh=decision_thresh,
+        )
+        dead = np.asarray(dec.dead)
+        fn = np.asarray(dec.fn)
+        fn_ref = np.asarray(dec.fn_ref_score)
+        keep = np.asarray(dec.keep)
+        newborn = np.asarray(dec.newborn)
+        ref_score = np.asarray(dec.ref_score)
+
+        annos: list[dict] = []
+        fn_annos: list[dict] = []
+
+        if n_prev > 0:
+            prev_token = sample["prev_token"]
+            dead_tracker.setdefault(prev_token, {"dead_idx": [], "keep_idx": []})
+            time_lag = float(sample["prev_det_boxes"][0, 9])
+            for n in range(n_prev):
+                if dead[n]:
+                    dead_tracker[prev_token]["dead_idx"].append(n)
+                elif fn[n]:
+                    a = dict(prev_cls[n])
+                    a["translation"] = list(a["translation"])
+                    a["translation"][:2] = [
+                        t + time_lag * v
+                        for t, v in zip(a["translation"][:2], a["velocity"])
+                    ]
+                    a["FN"] = True
+                    a["token"] = token
+                    a["ref_detection_score"] = float(fn_ref[n])
+                    fn_annos.append(a)
+
+        keep_idx = []
+        for k in range(n_curr):
+            if not keep[k]:
+                continue
+            a = dict(cls_det_boxes[k])
+            if newborn[k]:
+                a["newborn"] = True
+            a["ref_detection_score"] = float(ref_score[k])
+            keep_idx.append(k)
+            annos.append(a)
+        dead_tracker[token]["keep_idx"] = keep_idx
+
+        annos.extend(fn_annos)
+        nusc_annos["results"][token] = annos
+
+    # retroactive dead marking (eval.py:175-181)
+    for token, annos in nusc_annos["results"].items():
+        keep_idx = dead_tracker[token]["keep_idx"]
+        for i in dead_tracker[token]["dead_idx"]:
+            if i in keep_idx:
+                annos[keep_idx.index(i)]["dead"] = True
+
+    nusc_annos["meta"] = {
+        "use_camera": False,
+        "use_lidar": True,
+        "use_radar": False,
+        "use_map": False,
+        "use_external": False,
+    }
+    return nusc_annos
+
+
+def save_first_frame(frame_info_path: str, save_path: str) -> list[dict]:
+    """frames_meta.json from the frame_info artifact (eval.py:197-223 —
+    devkit-free: scene starts are tokens with prev == '')."""
+    with open(frame_info_path) as f:
+        frame_info = json.load(f)
+    frames = [
+        {
+            "token": tok,
+            "timestamp": fi["timestamp"] * 1e-6,
+            "first": fi["prev"] == "",
+        }
+        for tok, fi in frame_info.items()
+    ]
+    frames.sort(key=lambda f: f["timestamp"])
+    os.makedirs(save_path, exist_ok=True)
+    with open(os.path.join(save_path, "frames_meta.json"), "w") as f:
+        json.dump({"frames": frames}, f)
+    return frames
+
+
+def track(
+    predictions: dict,
+    frames: list[dict],
+    max_age: int = 4,
+    hungarian: bool = False,
+    refine_confidence: bool = False,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    merged: bool = False,
+) -> tuple[dict, float]:
+    """Host tracking over ordered frames (eval.py:226-305). Returns
+    (tracking_result_dict, fps)."""
+    if merged:
+        tracker = PubTrackerMerged(max_age=max_age, hungarian=hungarian)
+    else:
+        tracker = PubTracker(
+            max_age=max_age, hungarian=hungarian,
+            refine_confidence=refine_confidence, alpha=alpha, beta=beta,
+        )
+    nusc_annos: dict[str, Any] = {"results": {}, "meta": None}
+    start = time.time()
+    last_ts = 0.0
+    for fr in frames:
+        token = fr["token"]
+        if fr["first"]:
+            tracker.reset()
+            last_ts = fr["timestamp"]
+        time_lag = fr["timestamp"] - last_ts
+        last_ts = fr["timestamp"]
+        outputs = tracker.step_centertrack(predictions.get(token, []), time_lag)
+        annos = []
+        for item in outputs:
+            if item["active"] == 0:
+                continue
+            a = {
+                "sample_token": token,
+                "translation": list(item["translation"]),
+                "size": list(item["size"]),
+                "rotation": list(item["rotation"]),
+                "velocity": list(item["velocity"]),
+                "tracking_id": str(item["tracking_id"]),
+                "tracking_name": item["detection_name"],
+                "tracking_score": item["detection_score"],
+                "attribute_name": item.get("attribute_name"),
+            }
+            if refine_confidence or merged:
+                a["tracking_score"] = item["ref_detection_score"]
+            annos.append(a)
+        nusc_annos["results"][token] = annos
+    fps = len(frames) / max(time.time() - start, 1e-9)
+    nusc_annos["meta"] = {
+        "use_camera": False,
+        "use_lidar": True,
+        "use_radar": False,
+        "use_map": False,
+        "use_external": False,
+    }
+    return nusc_annos, fps
+
+
+def eval_tracking_nuscenes(res_path, eval_set, output_dir, nusc_version, root_path):
+    """Official TrackingEval wrapper (eval.py:322-339); requires the
+    nuscenes devkit, which is optional in this environment."""
+    try:
+        from nuscenes.eval.common.config import config_factory as track_configs
+        from nuscenes.eval.tracking.evaluate import TrackingEval
+    except ImportError:
+        print("nuscenes devkit not available; skipping official TrackingEval")
+        return None
+    cfg = track_configs("tracking_nips_2019")
+    nusc_eval = TrackingEval(
+        config=cfg,
+        result_path=res_path,
+        eval_set=eval_set,
+        output_dir=output_dir,
+        verbose=True,
+        nusc_version=nusc_version,
+        nusc_dataroot=root_path,
+    )
+    return nusc_eval.main()

@@ -1,0 +1,128 @@
+"""Shared micro synthetic nuScenes fixture builder."""
+import json
+import pickle
+
+import numpy as np
+
+from shasta_tpu.core.boxes import yaw_to_quaternion
+
+
+def build_micro_nusc(tmp_path):
+    """One scene, 3 key frames, 2 moving cars + 1 FP detection."""
+    root = tmp_path / "nuScenes"
+    ver = root / "v1.0-mini"
+    ver.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+
+    n_frames = 3
+    sample_tokens = [f"samp{i}" for i in range(n_frames)]
+    scene = [{
+        "token": "scene0", "name": "scene-0001",
+        "first_sample_token": sample_tokens[0],
+        "last_sample_token": sample_tokens[-1],
+    }]
+    samples, sample_data, ego_pose, anns = [], [], [], []
+    calibrated = [{
+        "token": "cs0",
+        "translation": [0.9, 0.0, 1.8],
+        "rotation": [1.0, 0, 0, 0],
+    }]
+    instances = [
+        {"token": "inst_a", "category_token": "cat_car"},
+        {"token": "inst_b", "category_token": "cat_car"},
+    ]
+    categories = [{"token": "cat_car", "name": "vehicle.car"}]
+
+    results = {}
+    for i, tok in enumerate(sample_tokens):
+        t_us = 1_000_000 * (i + 1) // 2  # 2 Hz
+        samples.append({
+            "token": tok, "timestamp": t_us, "scene_token": "scene0",
+            "prev": sample_tokens[i - 1] if i > 0 else "",
+            "next": sample_tokens[i + 1] if i < n_frames - 1 else "",
+        })
+        # lidar bin
+        sweeps_dir = root / "sweeps"
+        sweeps_dir.mkdir(exist_ok=True)
+        bin_path = sweeps_dir / f"LIDAR_TOP_{i}.bin"
+        pts = rng.uniform(-1, 1, size=(3000, 5)).astype(np.float32)
+        pts[:, :2] *= 50
+        pts[:, 2] = rng.uniform(-3, 1, 3000)
+        pts.tofile(bin_path)
+        sample_data.append({
+            "token": f"sd{i}", "sample_token": tok, "is_key_frame": True,
+            "filename": f"sweeps/LIDAR_TOP_{i}.bin",
+            "ego_pose_token": f"ego{i}", "calibrated_sensor_token": "cs0",
+            "next": f"sd{i+1}" if i < n_frames - 1 else "",
+        })
+        ego_pose.append({
+            "token": f"ego{i}",
+            "translation": [0.0, 0.0, 0.0],
+            "rotation": [1.0, 0, 0, 0],
+        })
+        # two GT cars moving +x at 4 m/s
+        dets = []
+        for k, inst in enumerate(("inst_a", "inst_b")):
+            x = 10.0 * (k + 1) + 2.0 * i
+            y = 5.0 * k
+            anns.append({
+                "token": f"ann{i}_{k}", "sample_token": tok,
+                "instance_token": inst,
+                "translation": [x, y, 0.5],
+                "size": [2.0, 4.5, 1.6],
+                "rotation": list(yaw_to_quaternion(0.1 * k)),
+                "num_lidar_pts": 10, "num_radar_pts": 0,
+                "prev": f"ann{i-1}_{k}" if i > 0 else "",
+                "next": f"ann{i+1}_{k}" if i < n_frames - 1 else "",
+            })
+            dets.append({
+                "sample_token": tok,
+                "translation": [x + 0.1, y - 0.05, 0.5],
+                "size": [2.0, 4.5, 1.6],
+                "rotation": list(yaw_to_quaternion(0.1 * k)),
+                "velocity": [4.0, 0.0],
+                "detection_name": "car",
+                "detection_score": 0.9 - 0.1 * k,
+                "attribute_name": "vehicle.moving",
+            })
+        # one far FP
+        dets.append({
+            "sample_token": tok,
+            "translation": [45.0, -40.0, 0.5],
+            "size": [2.0, 4.0, 1.5],
+            "rotation": [1.0, 0, 0, 0],
+            "velocity": [0.0, 0.0],
+            "detection_name": "car",
+            "detection_score": 0.3,
+            "attribute_name": "vehicle.moving",
+        })
+        results[tok] = dets
+
+    for name, table in (
+        ("scene", scene), ("sample", samples), ("sample_data", sample_data),
+        ("ego_pose", ego_pose), ("calibrated_sensor", calibrated),
+        ("sample_annotation", anns), ("instance", instances),
+        ("category", categories), ("attribute", []),
+    ):
+        with open(ver / f"{name}.json", "w") as f:
+            json.dump(table, f)
+
+    results_path = root / "cp_results.json"
+    with open(results_path, "w") as f:
+        json.dump({"results": results, "meta": {}}, f)
+
+    # infos pkl (create_data equivalent for the micro set)
+    infos = []
+    for i, tok in enumerate(sample_tokens):
+        infos.append({
+            "token": tok,
+            "lidar_path": str(root / "sweeps" / f"LIDAR_TOP_{i}.bin"),
+            "sweeps": [],
+        })
+    infos_path = root / "infos.pkl"
+    with open(infos_path, "wb") as f:
+        pickle.dump(infos, f)
+
+    return dict(root=root, results=results_path, infos=infos_path, tokens=sample_tokens)
+
+

@@ -1,0 +1,125 @@
+"""CLI smoke tests: the official_val.sh flow (eval -> merge -> pub_test)
+and the create_data infos builder, all on the micro synthetic dataroot."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fixtures_nusc import build_micro_nusc
+from shasta_tpu.preprocessing.nuscenes_chain import run_chain
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CFG_TEMPLATE = """
+import os, sys
+sys.path.insert(0, r"{repo}/configs/nusc")
+from _base import *  # noqa
+
+det_type = ["car"]
+max_objects = 6
+model = dict(model, max_obj=6, grid_shape=(41, 80, 80),
+             pc_start=(-3.0, -3.0),
+             cap_conv2=2000, cap_conv3=1000, cap_conv4=500, cap_extra=500)
+point_pipeline = dict(point_pipeline,
+    voxel_size=(0.075, 0.075, 0.05),
+    pc_range=(-3.0, -3.0, -1.0, 3.0, 3.0, 1.0),
+    max_voxels=4000, nsweeps=1)
+data = dict(data, val=dict(
+    info_path=r"{infos}",
+    det_path=r"{split}/detections/cp/sensor_individual_frames",
+    cls_info_path=r"{split}/detections/cp/cls_individual_frames",
+    frame_info_path=r"{out}/val_frame_info.json",
+    test_mode=True,
+))
+"""
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tools")
+    fx = build_micro_nusc(tmp)
+    out = tmp / "prep"
+    run_chain(
+        dataroot=str(fx["root"]), version="v1.0-mini",
+        results_json=str(fx["results"]), out_dir=str(out),
+        split="val", scene_names=None,
+    )
+    cfg_path = tmp / "micro_car.py"
+    cfg_path.write_text(
+        CFG_TEMPLATE.format(
+            repo=REPO, infos=fx["infos"], split=out / "val_2hz", out=out
+        )
+    )
+    return dict(fx=fx, out=out, cfg=cfg_path, tmp=tmp)
+
+
+def _run(args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + "\n" + r.stderr[-3000:]
+    return r
+
+
+def test_eval_merge_pubtest_flow(tree):
+    tmp = tree["tmp"]
+    work = tmp / "eval_car"
+    # train 1 synthetic step to produce a checkpoint the eval can load
+    _run([
+        "tools/train.py", "--config", str(tree["cfg"]), "--smoke", "--cpu",
+        "--epochs", "1", "--smoke_steps", "1", "--work_dir", str(tmp / "train"),
+    ])
+    ckpt = tmp / "train" / "epoch_1"
+    assert ckpt.exists()
+
+    _run([
+        "tools/eval.py", "--config", str(tree["cfg"]), "--cpu",
+        "--checkpoint", str(ckpt), "--work_dir", str(work), "--split", "val",
+    ])
+    cp = json.load(open(work / "cp_val.json"))
+    assert len(cp["results"]) == 3
+    for token, annos in cp["results"].items():
+        for a in annos:
+            assert "ref_detection_score" in a
+
+    merged = tmp / "merged.json"
+    _run([
+        "tools/merge_results.py", "--inputs", str(work / "cp_val.json"),
+        "--output", str(merged),
+    ])
+
+    pub = tmp / "pub"
+    r = _run([
+        "tools/pub_test.py", "--predictions", str(merged),
+        "--frame_info", str(tree["out"] / "val_frame_info.json"),
+        "--work_dir", str(pub), "--skip_eval",
+    ])
+    assert "tracking speed" in r.stdout
+    result = json.load(open(pub / "tracking_result.json"))
+    assert len(result["results"]) == 3
+    # tracking ids persist across the 3 frames for the two real cars
+    ids_per_frame = [
+        sorted(a["tracking_id"] for a in annos)
+        for _, annos in sorted(result["results"].items())
+    ]
+    assert all(len(ids) >= 2 for ids in ids_per_frame)
+
+
+def test_create_data_infos(tree):
+    out = tree["tmp"] / "infos_test.pkl"
+    _run([
+        "tools/create_data.py", "--dataroot", str(tree["fx"]["root"]),
+        "--version", "v1.0-mini", "--out", str(out), "--nsweeps", "2",
+    ])
+    import pickle
+
+    infos = pickle.load(open(out, "rb"))
+    assert len(infos) == 3
+    assert all("lidar_path" in i and "sweeps" in i for i in infos)
+    assert infos[0]["gt_boxes"].shape[1] == 7

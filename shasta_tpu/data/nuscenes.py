@@ -228,12 +228,14 @@ def voxelize_frame(
         points = augment_points(points.copy(), cfg, rng)
     if cfg.shuffle_points and train:
         rng.shuffle(points)
-    v, c, n = points_to_voxel_np(
+    from .. import runtime
+
+    v, c, n = runtime.points_to_voxel(
         points.astype(np.float32),
         list(cfg.voxel_size),
         list(cfg.pc_range),
-        cfg.max_points_in_voxel,
-        cfg.max_voxels,
+        max_points=cfg.max_points_in_voxel,
+        max_voxels=cfg.max_voxels,
     )
     V, P = cfg.max_voxels, cfg.max_points_in_voxel
     M = len(c)

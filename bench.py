@@ -1,19 +1,20 @@
-"""Benchmark: tracked frames/sec/chip on the flagship inference path.
+"""Benchmark: tracked frames/sec/chip on the full serving path.
 
-Measures the per-frame scene-inference step at nuScenes-car scale on one
-TPU chip: sparse trunk over a full 10-sweep point-cloud frame (120k voxel
-budget) -> BEV descriptor sampling -> affinity forward (max_obj=90) ->
-vectorized decision rules. Detections per frame: 60 real of 90 padded.
+Measures the per-frame on-device scene-inference step at nuScenes-car scale
+on one TPU chip: sparse trunk over a full point-cloud frame (120k voxel
+budget) -> BEV descriptor sampling -> affinity vs carried prev descriptors
+(max_obj=90) -> vectorized decision rules -> on-device scan-tracker step.
+60 real detections of 90 padded per frame.
 
-The previous frame's descriptors are carried (scene-scan design), so the
-trunk runs once per frame — unlike the reference, which recomputes both
-frames' backbones per pair at batch 1 (shasta.py:197-203, eval.py:96-113).
+This is strictly MORE work per frame than the reference's eval step — which
+recomputes BOTH frames' backbones, downloads the affinity matrices, and
+tracks on the host (eval.py:96-181, pub_tracker.py) — yet runs as one jitted
+XLA program with only O(N) scalars downloaded per frame.
 
-Baseline note: the reference repo publishes NO throughput number
-(BASELINE.md: "measured and printed at runtime"). vs_baseline below uses
-an estimated 20 frames/sec for the reference's GPU affinity+backbone eval
-step (batch 1, two spconv backbone passes/frame on a CUDA 11-era GPU) —
-the north star in BASELINE.json is >=20x that on one chip.
+Baseline note: the reference publishes NO throughput number (BASELINE.md).
+vs_baseline uses an estimated 20 frames/sec for the reference GPU eval step
+(batch 1, two spconv backbone passes/frame on a CUDA-11-era GPU); the
+BASELINE.json north star is >=20x that on one chip.
 """
 from __future__ import annotations
 
@@ -62,9 +63,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         print("WARNING: TPU backend unreachable; benchmarking on CPU", file=sys.stderr)
 
-    from shasta_tpu.models import ShastaModel, ShastaConfig
     from shasta_tpu.data.synthetic import make_batch
-    from shasta_tpu.tracker.decision import apply_decision_rules
+    from shasta_tpu.infer import ScenePipeline, default_tracker_params
+    from shasta_tpu.models import ShastaModel, ShastaConfig
 
     cfg = ShastaConfig(
         max_obj=90,
@@ -75,41 +76,42 @@ def main():
     )
     model = ShastaModel(cfg)
     V = 120000
-    batch = make_batch(cfg, batch_size=1, num_voxels_cap=V, n_dets=60, seed=0)
+    N_DETS = 60
+    batch = make_batch(cfg, batch_size=1, num_voxels_cap=V, n_dets=N_DETS, seed=0)
     frame = {
         k: jnp.asarray(batch[k])
         for k in ("voxels", "num_points", "coordinates", "voxels_valid", "det_boxes")
     }
-    prev_boxes = jnp.asarray(batch["prev_det_boxes"])
-    frame_init = dict(batch)  # full pair batch for variable-shape discovery
 
     # shape-only init (eager init would run thousands of ops through the
-    # remote-TPU tunnel); zeros are fine for throughput measurement
+    # remote-TPU tunnel); random weights for honest compute
     var_shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), frame_init, train=False)
+        lambda: model.init(jax.random.PRNGKey(0), batch, train=False)
     )
-    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), var_shapes)
+    import numpy as np
 
-    @jax.jit
-    def step(variables, frame, prev_boxes, prev_feat):
-        curr_feat = model.apply(variables, frame, train=False, method=ShastaModel.frame_features)
-        m1, m2 = model.apply(
-            variables, prev_boxes, frame["det_boxes"], prev_feat, curr_feat,
-            method=ShastaModel.affinity_step,
-        )
-        dec = apply_decision_rules(m1[0], m2[0], jnp.int32(60), jnp.int32(60))
-        return curr_feat, dec.keep, dec.ref_score, m1
+    rng = np.random.default_rng(0)
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.normal(0, 0.05, s.shape).astype(np.float32)
+            if s.dtype == jnp.float32
+            else np.ones(s.shape, s.dtype)
+        ),
+        var_shapes,
+    )
 
-    prev_feat = jnp.zeros((1, cfg.max_obj, 320), jnp.float32)
+    pipe = ScenePipeline(
+        model=model, variables=variables, cls_id=2,
+        params=default_tracker_params(max_age=4),
+    )
+
     # warmup / compile
-    curr_feat, keep, ref, m1 = step(variables, frame, prev_boxes, prev_feat)
-    jax.block_until_ready(m1)
+    tids, used, keep, refs = pipe.step_frame(frame, N_DETS, 0.5)
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        curr_feat, keep, ref, m1 = step(variables, frame, prev_boxes, curr_feat)
-    jax.block_until_ready(m1)
+        tids, used, keep, refs = pipe.step_frame(frame, N_DETS, 0.5)
     dt = time.perf_counter() - t0
     fps = iters / dt
 

@@ -1,0 +1,71 @@
+"""End-to-end on-device scene pipeline over the micro synthetic dataroot."""
+import numpy as np
+import jax
+import pytest
+
+from fixtures_nusc import build_micro_nusc
+from shasta_tpu.preprocessing.nuscenes_chain import run_chain
+from shasta_tpu.data.nuscenes import NuScenesTrackDataset, PointPipelineConfig
+from shasta_tpu.infer import ScenePipeline, default_tracker_params, track_scene_dataset
+from shasta_tpu.models import ShastaModel, ShastaConfig
+from shasta_tpu.tracker.pub_tracker import NUSCENES_TRACKING_NAMES
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("infer")
+    fx = build_micro_nusc(tmp)
+    out = tmp / "prep"
+    run_chain(
+        dataroot=str(fx["root"]), version="v1.0-mini",
+        results_json=str(fx["results"]), out_dir=str(out),
+        split="val", scene_names=None,
+    )
+    split = out / "val_2hz"
+    ds = NuScenesTrackDataset(
+        info_path=str(fx["infos"]),
+        det_path=str(split / "detections" / "cp" / "sensor_individual_frames"),
+        cls_info_path=str(split / "detections" / "cp" / "cls_individual_frames"),
+        frame_info_path=str(out / "val_frame_info.json"),
+        det_type=["car"],
+        max_objects=6,
+        test_mode=True,
+        pipeline=PointPipelineConfig(
+            voxel_size=(0.075, 0.075, 0.05),
+            pc_range=(-3.0, -3.0, -1.0, 3.0, 3.0, 1.0),
+            max_voxels=4000, nsweeps=1, shuffle_points=False,
+        ),
+    )
+    cfg = ShastaConfig(
+        max_obj=6, grid_shape=(41, 80, 80), pc_start=(-3.0, -3.0),
+        cap_conv2=2000, cap_conv3=1000, cap_conv4=500, cap_extra=500,
+    )
+    model = ShastaModel(cfg)
+    from shasta_tpu.data.nuscenes import collate
+
+    batch = collate([ds[0]])
+    import jax.numpy as jnp
+
+    one = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+    variables = model.init(jax.random.PRNGKey(0), one, train=False)
+    return dict(ds=ds, model=model, variables=variables)
+
+
+def test_scene_pipeline_tracks(setup):
+    pipe = ScenePipeline(
+        model=setup["model"],
+        variables=setup["variables"],
+        cls_id=NUSCENES_TRACKING_NAMES.index("car"),
+        params=default_tracker_params(max_age=4),
+    )
+    result = track_scene_dataset(pipe, setup["ds"])
+    assert len(result["results"]) == 3
+    # every output anno carries an id and a refined score
+    for token, annos in result["results"].items():
+        for a in annos:
+            assert int(a["tracking_id"]) >= 1
+            assert 0.0 <= a["tracking_score"] <= 1.0
+    # with an untrained net, decisions may drop dets, but outputs exist for
+    # at least the first frame (everything is newborn-or-kept at start)
+    first = sorted(result["results"].items())[0][1]
+    assert len(first) >= 1

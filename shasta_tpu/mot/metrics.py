@@ -27,8 +27,14 @@ class MOTAccumulator:
         hyp_ids = list(hyp_ids)
         G, H = len(gt_ids), len(hyp_ids)
         self.num_gt += G
-        gt_c = np.asarray(gt_centers, np.float64).reshape(G, -1)[:, :2]
-        hyp_c = np.asarray(hyp_centers, np.float64).reshape(H, -1)[:, :2]
+        gt_c = (
+            np.asarray(gt_centers, np.float64).reshape(G, -1)[:, :2]
+            if G else np.zeros((0, 2))
+        )
+        hyp_c = (
+            np.asarray(hyp_centers, np.float64).reshape(H, -1)[:, :2]
+            if H else np.zeros((0, 2))
+        )
 
         dist = (
             np.linalg.norm(gt_c[:, None, :] - hyp_c[None, :, :], axis=2)

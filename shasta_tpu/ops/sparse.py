@@ -57,13 +57,15 @@ def _sorted_lookup(sorted_keys: jnp.ndarray, perm: jnp.ndarray, query: jnp.ndarr
     """Find indices of query keys in the original array; miss -> capacity.
 
     sorted_keys: (V,) ascending with SENTINEL tail; perm: argsort indices.
-    Returns (Q,) int32 in [0, V] where V means "not found" (zero-pad row).
+    query may be any shape (all taps are looked up in ONE searchsorted
+    call). Returns int32 in [0, V] where V means "not found" (zero row).
     """
     V = sorted_keys.shape[0]
-    pos = jnp.searchsorted(sorted_keys, query, side="left")
+    pos = jnp.searchsorted(sorted_keys, query.reshape(-1), side="left")
     pos = jnp.clip(pos, 0, V - 1)
-    found = (sorted_keys[pos] == query) & (query != SENTINEL)
-    return jnp.where(found, perm[pos], V).astype(jnp.int32)
+    q = query.reshape(-1)
+    found = (sorted_keys[pos] == q) & (q != SENTINEL)
+    return jnp.where(found, perm[pos], V).astype(jnp.int32).reshape(query.shape)
 
 
 class NeighborIndex(NamedTuple):
@@ -92,22 +94,16 @@ def build_subm_index(st: SparseTensor, kernel: Sequence[int] = (3, 3, 3)) -> Nei
         ),
         axis=-1,
     ).reshape(-1, 3)  # (K, 3) in (dz, dy, dx) raster order
+    K = offsets.shape[0]
 
     b = st.coords[:, 0]
     zyx = st.coords[:, 1:4]
-    cols = []
-    for off in offsets:
-        n = zyx + jnp.asarray(off, jnp.int32)
-        in_range = (
-            (n[:, 0] >= 0) & (n[:, 0] < Z)
-            & (n[:, 1] >= 0) & (n[:, 1] < Y)
-            & (n[:, 2] >= 0) & (n[:, 2] < X)
-            & st.valid
-        )
-        nc = jnp.concatenate([b[:, None], n], axis=1)
-        qk = encode_keys(nc, in_range, st.shape, st.batch_size)
-        cols.append(_sorted_lookup(sorted_keys, perm, qk))
-    return NeighborIndex(gather=jnp.stack(cols, axis=1))  # (V, K)
+    n = zyx[:, None, :] + jnp.asarray(offsets, jnp.int32)[None, :, :]  # (V, K, 3)
+    dims = jnp.asarray([Z, Y, X], jnp.int32)
+    in_range = jnp.all((n >= 0) & (n < dims), axis=-1) & st.valid[:, None]
+    key = ((b[:, None] * Z + n[..., 0]) * Y + n[..., 1]) * X + n[..., 2]
+    qk = jnp.where(in_range, key, SENTINEL)
+    return NeighborIndex(gather=_sorted_lookup(sorted_keys, perm, qk))  # (V, K)
 
 
 def subm_conv_apply(
@@ -165,31 +161,35 @@ def build_strided_plan(
     OX = (X + 2 * px - kx) // sx + 1
     out_shape = (OZ, OY, OX)
 
-    offsets = np.stack(
-        np.meshgrid(np.arange(kz), np.arange(ky), np.arange(kx), indexing="ij"),
-        axis=-1,
-    ).reshape(-1, 3)
-    K = offsets.shape[0]
-
     b = st.coords[:, 0]
     zyx = st.coords[:, 1:4]
     strides = jnp.asarray([sz, sy, sx], jnp.int32)
     pads = jnp.asarray([pz, py, px], jnp.int32)
     out_dims = jnp.asarray(out_shape, jnp.int32)
 
-    cand_keys = []
-    for off in offsets:
-        num = zyx + pads - jnp.asarray(off, jnp.int32)
-        o = num // strides
-        ok = (
-            jnp.all(num % strides == 0, axis=1)
-            & jnp.all(o >= 0, axis=1)
-            & jnp.all(o < out_dims, axis=1)
-            & st.valid
-        )
-        oc = jnp.concatenate([b[:, None], o], axis=1)
-        cand_keys.append(encode_keys(oc, ok, out_shape, st.batch_size))
-    cand = jnp.concatenate(cand_keys)  # (V*K,)
+    # Parity-restricted candidate outputs: for axis stride s and kernel K_a,
+    # the taps with (in + p - k) % s == 0 are k = (in+p)%s + i*s for
+    # i < ceil(K_a/s) — at most ceil(K/s)^3 candidates per input instead of
+    # K^3 (8 vs 27 for the stride-2 stages), which shrinks the dedup sort.
+    counts = [int(np.ceil(k / s)) for k, s in ((kz, sz), (ky, sy), (kx, sx))]
+    kdims = (kz, ky, kx)
+    i_grid = np.stack(
+        np.meshgrid(*[np.arange(c) for c in counts], indexing="ij"), axis=-1
+    ).reshape(-1, 3)  # (C, 3) static per-axis multiples
+    C = i_grid.shape[0]
+
+    r = (zyx + pads) % strides  # (V, 3) runtime residues
+    taps = r[:, None, :] + jnp.asarray(i_grid, jnp.int32) * strides  # (V, C, 3)
+    o = (zyx[:, None, :] + pads - taps) // strides
+    ok = (
+        jnp.all(taps < jnp.asarray(kdims, jnp.int32), axis=-1)
+        & jnp.all(o >= 0, axis=-1)
+        & jnp.all(o < out_dims, axis=-1)
+        & st.valid[:, None]
+    )
+    OZ_, OY_, OX_ = out_shape
+    cand = ((b[:, None] * OZ_ + o[..., 0]) * OY_ + o[..., 1]) * OX_ + o[..., 2]
+    cand = jnp.where(ok, cand, SENTINEL).reshape(-1)  # (V*C,)
 
     s = jnp.sort(cand)
     head = (s != jnp.concatenate([jnp.full((1,), -1, s.dtype), s[:-1]])) & (s != SENTINEL)
@@ -211,23 +211,21 @@ def build_strided_plan(
     ob = k // OZ
     out_coords = jnp.stack([ob, oz, oy, ox], axis=1).astype(jnp.int32)
 
-    # Gather indices: input at in = o*s + k - p for each tap.
+    # Gather indices: input at in = o*s + k - p for each tap (one batched
+    # searchsorted over all K taps).
     in_keys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
     perm = jnp.argsort(in_keys)
     sorted_in = in_keys[perm]
-    cols = []
-    for off in offsets:
-        ic = out_coords[:, 1:4] * strides + jnp.asarray(off, jnp.int32) - pads
-        in_range = (
-            (ic[:, 0] >= 0) & (ic[:, 0] < Z)
-            & (ic[:, 1] >= 0) & (ic[:, 1] < Y)
-            & (ic[:, 2] >= 0) & (ic[:, 2] < X)
-            & out_valid
-        )
-        qc = jnp.concatenate([out_coords[:, :1], ic], axis=1)
-        qk = encode_keys(qc, in_range, st.shape, st.batch_size)
-        cols.append(_sorted_lookup(sorted_in, perm, qk))
-    gather = jnp.stack(cols, axis=1)  # (V_out, K)
+    offsets = np.stack(
+        np.meshgrid(np.arange(kz), np.arange(ky), np.arange(kx), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    ic = out_coords[:, None, 1:4] * strides + jnp.asarray(offsets, jnp.int32) - pads
+    dims = jnp.asarray([Z, Y, X], jnp.int32)
+    in_range = jnp.all((ic >= 0) & (ic < dims), axis=-1) & out_valid[:, None]
+    qk = ((out_coords[:, :1] * Z + ic[..., 0]) * Y + ic[..., 1]) * X + ic[..., 2]
+    qk = jnp.where(in_range, qk, SENTINEL)
+    gather = _sorted_lookup(sorted_in, perm, qk)  # (V_out, K)
     return StridedPlan(out_coords, out_valid, gather, out_shape)
 
 

@@ -206,6 +206,61 @@ def track(
     return nusc_annos, fps
 
 
+GENERAL_TO_TRACKING = {
+    "vehicle.car": "car",
+    "vehicle.truck": "truck",
+    "vehicle.bus": "bus",
+    "vehicle.bus.bendy": "bus",
+    "vehicle.bus.rigid": "bus",
+    "vehicle.trailer": "trailer",
+    "vehicle.motorcycle": "motorcycle",
+    "vehicle.bicycle": "bicycle",
+    "human.pedestrian.adult": "pedestrian",
+    "human.pedestrian.child": "pedestrian",
+    "human.pedestrian.construction_worker": "pedestrian",
+    "human.pedestrian.police_officer": "pedestrian",
+}
+
+
+def eval_tracking_lite(results: dict, gt_info_dir: str, classes=None) -> dict:
+    """Devkit-free AMOTA using the gt_info per-frame artifacts
+    (gt_info.py individual_frames jsons). Development metric; the official
+    TrackingEval remains the reporting path."""
+    import os as _os
+
+    from ..mot.amota import evaluate_amota, frames_from_tracking_result
+
+    gt: dict[str, list] = {}
+    for tok in results:
+        path = _os.path.join(gt_info_dir, tok + ".json")
+        if not _os.path.exists(path):
+            continue
+        with open(path) as f:
+            d = json.load(f)
+        annos = []
+        for gid, gtype, box in zip(d["frame_ids"], d["frame_types"], d["frame_bboxes"]):
+            name = GENERAL_TO_TRACKING.get(gtype)
+            if name is None:
+                continue
+            annos.append({
+                "instance_id": gid,
+                "translation": list(box[:3]),
+                "tracking_name": name,
+            })
+        gt[tok] = annos
+
+    classes = classes or sorted({a["tracking_name"] for v in gt.values() for a in v})
+    out = {}
+    for cls in classes:
+        gt_frames, hyp_frames = frames_from_tracking_result(results, gt, cls)
+        out[cls] = evaluate_amota(gt_frames, hyp_frames)
+    if out:
+        out["mean_amota"] = float(
+            sum(v["amota"] for k, v in out.items() if isinstance(v, dict)) / len(out)
+        )
+    return out
+
+
 def eval_tracking_nuscenes(res_path, eval_set, output_dir, nusc_version, root_path):
     """Official TrackingEval wrapper (eval.py:322-339); requires the
     nuscenes devkit, which is optional in this environment."""

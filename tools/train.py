@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument("--config", default="configs/nusc/car.py")
     p.add_argument("--work_dir", default=None)
     p.add_argument("--checkpoint", default=None, help="resume/init checkpoint")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest epoch_N in work_dir")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--smoke", action="store_true", help="synthetic data smoke run")
     p.add_argument("--smoke_steps", type=int, default=3)
@@ -118,6 +120,21 @@ def main():
     variables = model.init(jax.random.PRNGKey(seed), one, train=False)
 
     pretrained = cfg.get("pretrained_bev_map")
+    start_epoch = 0
+    if args.resume:
+        import re
+
+        found = sorted(
+            (int(m.group(1)), d)
+            for d in os.listdir(work_dir)
+            if (m := re.fullmatch(r"epoch_(\d+)", d))
+        )
+        if found:
+            start_epoch, latest = found[-1]
+            variables = merge_pretrained(
+                variables, load_checkpoint(os.path.join(work_dir, latest))
+            )
+            print(f"resumed from {latest} (epoch {start_epoch})")
     if args.checkpoint:
         variables = merge_pretrained(variables, load_checkpoint(args.checkpoint))
         print(f"loaded checkpoint {args.checkpoint}")
@@ -143,7 +160,7 @@ def main():
 
     # ---- loop ----
     log_path = os.path.join(work_dir, "train_log.jsonl")
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         losses = []
         t0 = time.time()
         for i, batch_np in enumerate(batches()):

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def validate(config_path: str, checkpoint: str, work_dir: str,
              cpu: bool = False, run_official_eval: bool = True,
-             root: str = "data/nuScenes") -> dict:
+             root: str = "data/nuScenes", gt_info_dir: str | None = None) -> dict:
     """Returns {'fps': float, 'metrics': ..., 'metrics_refined': ...}."""
     import jax
     import jax.numpy as jnp
@@ -85,6 +85,11 @@ def validate(config_path: str, checkpoint: str, work_dir: str,
     print(f"validate: tracked {len(frames)} frames at {fps:.1f} FPS")
 
     out = {"fps": fps, "metrics": None, "metrics_refined": None}
+    if gt_info_dir and os.path.isdir(gt_info_dir):
+        from shasta_tpu.tracker.runner import eval_tracking_lite
+
+        out["metrics_lite"] = eval_tracking_lite(result["results"], gt_info_dir)
+        print("AMOTA-lite:", json.dumps(out["metrics_lite"]))
     if run_official_eval:
         out["metrics"] = eval_tracking_nuscenes(
             res_path, "val", work_dir, "v1.0-trainval", root
@@ -110,6 +115,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip_eval", action="store_true")
     ap.add_argument("--root", default="data/nuScenes")
+    ap.add_argument("--gt_info_dir", default=None,
+                    help="gt_info/individual_frames dir for devkit-free AMOTA")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -117,7 +124,8 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     validate(args.config, args.checkpoint, args.work_dir,
-             run_official_eval=not args.skip_eval, root=args.root)
+             run_official_eval=not args.skip_eval, root=args.root,
+             gt_info_dir=args.gt_info_dir)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,7 @@ class ShastaModel(nn.Module):
             cap_conv4=c.cap_conv4,
             cap_extra=c.cap_extra,
             bn_axis_name=c.bn_axis_name,
+            dtype=c.dtype,
             name="backbone",
         )
         self.neck = RPN(dtype=c.dtype, name="neck")

@@ -111,15 +111,21 @@ def subm_conv_apply(
     index: NeighborIndex,
     weight: jnp.ndarray,  # (K, C_in, C_out)
     bias: jnp.ndarray | None = None,
+    compute_dtype=None,
 ) -> SparseTensor:
-    """Apply a submanifold conv given precomputed neighbor indices."""
+    """Apply a submanifold conv given precomputed neighbor indices.
+
+    compute_dtype=jnp.bfloat16 runs the im2col matmul on the MXU in bf16
+    with f32 accumulation (the free TPU win; SURVEY §2.8 mixed precision).
+    """
     V, C = st.feats.shape
     K = weight.shape[0]
+    dt = compute_dtype or st.feats.dtype
     padded = jnp.concatenate([st.feats, jnp.zeros((1, C), st.feats.dtype)], axis=0)
     gathered = padded[index.gather]  # (V, K, C)
     out = jax.lax.dot_general(
-        gathered.reshape(V, K * C),
-        weight.reshape(K * C, -1),
+        gathered.reshape(V, K * C).astype(dt),
+        weight.reshape(K * C, -1).astype(dt),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -234,14 +240,16 @@ def strided_conv_apply(
     plan: StridedPlan,
     weight: jnp.ndarray,  # (K, C_in, C_out)
     bias: jnp.ndarray | None = None,
+    compute_dtype=None,
 ) -> SparseTensor:
     V_out = plan.gather.shape[0]
     K, C, Co = weight.shape
+    dt = compute_dtype or st.feats.dtype
     padded = jnp.concatenate([st.feats, jnp.zeros((1, C), st.feats.dtype)], axis=0)
     gathered = padded[plan.gather]  # (V_out, K, C)
     out = jax.lax.dot_general(
-        gathered.reshape(V_out, K * C),
-        weight.reshape(K * C, Co),
+        gathered.reshape(V_out, K * C).astype(dt),
+        weight.reshape(K * C, Co).astype(dt),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )

@@ -124,6 +124,135 @@ class ScenePipeline:
         )
 
 
+@dataclass
+class MultiClassScenePipeline:
+    """Shared-trunk 7-class inference.
+
+    The reference evaluates 7 per-class models independently
+    (official_val.sh), recomputing the BEV trunk 14x per frame pair. All 7
+    released models share the SAME frozen trunk (bev_map.pth,
+    configs/nusc/*.py:22), so here the trunk runs ONCE per frame; each
+    class's affinity head (its own converted checkpoint, its own max_obj)
+    samples descriptors from the shared 64-channel BEV map, and one merged
+    multi-class scan-tracker table tracks everything on device.
+
+    class_heads: {name: (model, variables)} — `variables` may share the
+    trunk subtree; only the affinity/shared-conv parts differ per class.
+    trunk_key: which class's variables provide the shared trunk + shared
+    conv (they are identical when converted from the reference release).
+    """
+
+    class_heads: dict
+    trunk_key: str = "car"
+    params: st.TrackerParams = None
+    fp_thresh: float = 0.7
+    decision_thresh: float = 0.5
+
+    def __post_init__(self):
+        self.params = self.params or default_tracker_params(max_age=4)
+        names = list(self.class_heads)
+        trunk_model, trunk_vars = self.class_heads[self.trunk_key]
+
+        @jax.jit
+        def bev_map(variables, frame):
+            return trunk_model.apply(
+                variables, frame, train=False, method=ShastaModel.bev_single
+            )
+
+        self._bev = lambda frame: bev_map(trunk_vars, frame)
+
+        self._heads = {}
+        for name in names:
+            model, variables = self.class_heads[name]
+
+            @jax.jit
+            def head(variables, bev, prev_boxes, curr_boxes, prev_feat,
+                     n_prev, n_curr, _model=model):
+                from .core.bilinear import sample_bev_features
+                from .core.boxes import box_points_5
+
+                cfg = _model.cfg
+                pts = box_points_5(curr_boxes[:, :, :7])
+                curr_feat = sample_bev_features(
+                    bev, pts, cfg.pc_start, cfg.voxel_size, cfg.out_stride
+                )
+                m1, m2 = _model.apply(
+                    variables, prev_boxes, curr_boxes, prev_feat, curr_feat,
+                    method=ShastaModel.affinity_step,
+                )
+                dec = apply_decision_rules(
+                    m1[0], m2[0], n_prev, n_curr,
+                    fp_thresh=self.fp_thresh,
+                    decision_thresh=self.decision_thresh,
+                )
+                return curr_feat, dec
+
+            self._heads[name] = head
+        self.reset()
+
+    def reset(self):
+        self._state = {}
+        for name, (model, _) in self.class_heads.items():
+            cfg = model.cfg
+            self._state[name] = {
+                "prev_feat": jnp.zeros((1, cfg.max_obj, cfg.num_point * cfg.share_conv_channel)),
+                "prev_boxes": jnp.zeros((1, cfg.max_obj, 11)),
+                "n_prev": jnp.int32(0),
+            }
+        cap = sum(m.cfg.max_obj for m, _ in self.class_heads.values())
+        self._table = st.TrackTable.empty(cap * (self.params.max_age + 1))
+        self._id_count = jnp.int32(0)
+
+    def step_frame(self, frame_np: dict, class_boxes: dict, time_lag: float):
+        """frame_np: voxel arrays (B=1). class_boxes: {name: (det_boxes11
+        (1,N_c,11), n_curr)}. Returns {name: (tids, used, keep, ref)}."""
+        frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
+        bev = self._bev(frame)
+        # per-class decision rules, concatenated class-major into one
+        # merged tracker step (NUSCENES_TRACKING_NAMES order)
+        det_parts = []
+        spans = {}
+        offset = 0
+        for name in NUSCENES_TRACKING_NAMES:
+            if name not in self.class_heads or name not in class_boxes:
+                continue
+            model, variables = self.class_heads[name]
+            boxes, n_curr = class_boxes[name]
+            boxes = jnp.asarray(boxes)
+            s = self._state[name]
+            curr_feat, dec = self._heads[name](
+                variables, bev, s["prev_boxes"], boxes, s["prev_feat"],
+                s["n_prev"], jnp.int32(n_curr),
+            )
+            s["prev_feat"], s["prev_boxes"], s["n_prev"] = (
+                curr_feat, boxes, jnp.int32(n_curr),
+            )
+            cid = NUSCENES_TRACKING_NAMES.index(name)
+            b0 = boxes[0]
+            det_parts.append(st.FrameDets(
+                ct=b0[:, :2], velocity=b0[:, 7:9],
+                cls=jnp.where(dec.keep, cid, -1).astype(jnp.int32),
+                score=b0[:, 10], ref_score=dec.ref_score,
+                newborn=dec.newborn, dead=jnp.zeros_like(dec.keep),
+                valid=dec.keep,
+            ))
+            spans[name] = (offset, offset + model.cfg.max_obj, dec)
+            offset += model.cfg.max_obj
+
+        dets = st.FrameDets(*[
+            jnp.concatenate([getattr(p, f) for p in det_parts], axis=0)
+            for f in st.FrameDets._fields
+        ])
+        self._table, self._id_count, tid, used, ref = st.step_frame(
+            self._table, self._id_count, dets, jnp.float32(time_lag), self.params
+        )
+        tid, used, ref = map(np.asarray, (tid, used, ref))
+        out = {}
+        for name, (lo, hi, dec) in spans.items():
+            out[name] = (tid[lo:hi], used[lo:hi], np.asarray(dec.keep), ref[lo:hi])
+        return out
+
+
 def track_scene_dataset(pipeline: ScenePipeline, dataset, frame_lags=None,
                         progress: bool = False) -> dict:
     """Run the pipeline over a dataset of ordered frames; returns

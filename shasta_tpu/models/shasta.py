@@ -125,17 +125,11 @@ class ShastaModel(nn.Module):
         bev = self.shared_conv(bev, train)  # (2B, H, W, 64)
         return bev[:B], bev[B:]
 
-    def frame_features(self, frame: dict, train: bool = False) -> jnp.ndarray:
-        """Trunk + BEV descriptor sampling for ONE frame.
+    def bev_single(self, frame: dict, train: bool = False) -> jnp.ndarray:
+        """Shared-conv BEV map (B, H, W, 64) for ONE frame.
 
         frame keys: voxels (B,V,P,5), num_points (B,V), coordinates (B,V,3),
-        voxels_valid (B,V), det_boxes (B,N,11). Returns (B, N, 320).
-
-        TPU-native scene inference: the reference recomputes BOTH frames'
-        BEV maps per frame pair (shasta.py:197-203, batch 1 at eval); here a
-        scene scan carries the previous frame's sampled descriptors so the
-        trunk runs once per frame — a 2x trunk-compute saving with
-        bit-identical affinities (same map, same sample points).
+        voxels_valid (B,V).
         """
         B, V = frame["voxels"].shape[:2]
         c = self.cfg
@@ -157,7 +151,19 @@ class ShastaModel(nn.Module):
         )
         bev = self.backbone(st, train)
         bev = self.neck(bev, train)
-        bev = self.shared_conv(bev, train)
+        return self.shared_conv(bev, train)
+
+    def frame_features(self, frame: dict, train: bool = False) -> jnp.ndarray:
+        """Trunk + BEV descriptor sampling for ONE frame -> (B, N, 320).
+
+        TPU-native scene inference: the reference recomputes BOTH frames'
+        BEV maps per frame pair (shasta.py:197-203, batch 1 at eval); here a
+        scene scan carries the previous frame's sampled descriptors so the
+        trunk runs once per frame — a 2x trunk-compute saving with
+        bit-identical affinities (same map, same sample points).
+        """
+        c = self.cfg
+        bev = self.bev_single(frame, train)
         pts = box_points_5(frame["det_boxes"][:, :, :7])
         return sample_bev_features(bev, pts, c.pc_start, c.voxel_size, c.out_stride)
 

@@ -1,0 +1,59 @@
+"""Shared-trunk multi-class inference: one trunk pass, per-class heads,
+one merged on-device tracker table."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from shasta_tpu.data.synthetic import make_batch
+from shasta_tpu.infer import MultiClassScenePipeline, default_tracker_params
+from shasta_tpu.models import ShastaModel, ShastaConfig
+
+
+def _mini_cfg(max_obj):
+    return ShastaConfig(
+        max_obj=max_obj, grid_shape=(41, 48, 48), pc_start=(-3.0, -3.0),
+        cap_conv2=512, cap_conv3=256, cap_conv4=128, cap_extra=128,
+    )
+
+
+def test_multiclass_shared_trunk(rng):
+    car_cfg, bus_cfg = _mini_cfg(6), _mini_cfg(5)
+    car, bus = ShastaModel(car_cfg), ShastaModel(bus_cfg)
+    b = make_batch(car_cfg, 1, 512, n_dets=4)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    vc = car.init(jax.random.PRNGKey(0), batch, train=False)
+
+    b4 = make_batch(bus_cfg, 1, 512, n_dets=3)
+    batch4 = {k: jnp.asarray(v) for k, v in b4.items()}
+    vb = bus.init(jax.random.PRNGKey(1), batch4, train=False)
+    # share the frozen trunk (identical across the 7 released models)
+    vb = jax.tree_util.tree_map(lambda x: x, vb)
+    vb["params"] = dict(vb["params"])
+    for part in ("backbone", "neck", "shared_conv"):
+        vb["params"][part] = vc["params"][part]
+        vb["batch_stats"][part] = vc["batch_stats"][part]
+
+    pipe = MultiClassScenePipeline(
+        class_heads={"car": (car, vc), "bus": (bus, vb)},
+        trunk_key="car",
+        params=default_tracker_params(max_age=4),
+    )
+
+    frame = {k: b[k] for k in ("voxels", "num_points", "coordinates", "voxels_valid")}
+    car_boxes = b["det_boxes"]
+    bus_boxes = b4["det_boxes"]
+
+    out1 = pipe.step_frame(frame, {"car": (car_boxes, 4), "bus": (bus_boxes, 3)}, 0.5)
+    assert set(out1) == {"car", "bus"}
+    # second frame with same boxes: matched tracks keep their ids
+    out2 = pipe.step_frame(frame, {"car": (car_boxes, 4), "bus": (bus_boxes, 3)}, 0.5)
+    for name in ("car", "bus"):
+        t1, u1, k1, r1 = out1[name]
+        t2, u2, k2, r2 = out2[name]
+        for i in range(len(t1)):
+            if u1[i] and u2[i]:
+                assert t1[i] == t2[i], (name, i)
+    # ids are globally unique across classes
+    ids1 = set(out1["car"][0][out1["car"][1]]) | set(out1["bus"][0][out1["bus"][1]])
+    all_ids = list(out1["car"][0][out1["car"][1]]) + list(out1["bus"][0][out1["bus"][1]])
+    assert len(ids1) == len(all_ids)

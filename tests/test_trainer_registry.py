@@ -1,0 +1,72 @@
+import numpy as np
+import jax.numpy as jnp
+
+from shasta_tpu.registry_setup import register_all
+from shasta_tpu.train.trainer import (
+    CheckpointHook,
+    IterTimerHook,
+    JsonlLoggerHook,
+    TextLoggerHook,
+    Trainer,
+)
+from shasta_tpu.utils.registry import build_from_cfg
+
+
+def test_registry_builds_models():
+    regs = register_all()
+    m = build_from_cfg(
+        dict(type="ShastaModel", max_obj=6, grid_shape=[41, 48, 48],
+             cap_conv2=512, cap_conv3=256, cap_conv4=128, cap_extra=128),
+        regs["models"],
+    )
+    assert m.cfg.max_obj == 6
+    t = build_from_cfg(dict(type="PubTracker", max_age=3), regs["trackers"])
+    assert t.max_age == 3
+
+
+def test_trainer_hooks(tmp_path):
+    calls = []
+
+    class Spy:
+        priority = 10
+
+        def __getattr__(self, name):
+            if name.startswith(("before_", "after_")):
+                return lambda t: calls.append(name)
+            raise AttributeError(name)
+
+    def step(state, batch):
+        return state + 1, {"loss": jnp.float32(batch)}
+
+    def data():
+        return iter([1.0, 2.0])
+
+    tr = Trainer(step_fn=step, state=0, data_fn=data, work_dir=str(tmp_path),
+                 max_epochs=2)
+    tr.register_hook(IterTimerHook())
+    tr.register_hook(TextLoggerHook(interval=1))
+    tr.register_hook(JsonlLoggerHook())
+    tr.register_hook(Spy())
+    state = tr.run()
+    assert state == 4  # 2 epochs x 2 iters
+    assert calls.count("before_epoch") == 2
+    assert calls.count("after_iter") == 4
+    log = (tmp_path / "train_log.jsonl").read_text().strip().splitlines()
+    assert len(log) == 4
+
+
+def test_checkpoint_hook(tmp_path):
+    import jax
+
+    class FakeState:
+        params = {"w": np.ones((2, 2))}
+        batch_stats = {}
+
+    def step(state, batch):
+        return state, {"loss": 0.0}
+
+    tr = Trainer(step_fn=step, state=FakeState(), data_fn=lambda: iter([0]),
+                 work_dir=str(tmp_path), max_epochs=1)
+    tr.register_hook(CheckpointHook(interval=1))
+    tr.run()
+    assert (tmp_path / "epoch_1").exists()

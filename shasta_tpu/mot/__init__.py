@@ -11,3 +11,4 @@ from .hit_manager import HitManager  # noqa: F401
 from .tracklet import Tracklet  # noqa: F401
 from .association import associate_dets_to_tracks  # noqa: F401
 from .mot_model import MOTModel, FrameData, UpdateInfoData  # noqa: F401
+from .validity import Validity  # noqa: F401

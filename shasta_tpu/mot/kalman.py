@@ -121,6 +121,25 @@ class KalmanFilterMotionModel:
         self.time_stamp = time_stamp
 
 
+class FrameBasedKalmanFilterMotionModel(KalmanFilterMotionModel):
+    """Frame-indexed CV Kalman filter ('fbkf' variant): velocity state is
+    per-frame displacement, so F's velocity terms stay 1 regardless of
+    timestamps (mot_3d/motion_model frame-based KF)."""
+
+    def __init__(self, bbox, inst_type, time_stamp=None, covariance="default"):
+        super().__init__(bbox, inst_type, time_stamp or 0.0, covariance)
+
+    def get_prediction(self, time_stamp=None):
+        self.latest_time_stamp = time_stamp
+        for i in range(3):
+            self.F[i, 7 + i] = 1.0
+        px = self.F @ self.x
+        px[3] = _wrap(px[3])
+        pred = np.append(px[:7], self.score)
+        self.history.append(pred)
+        return pred
+
+
 class NaiveMotionModel:
     """Velocity back-step model (mot_3d/motion_model velo variant): state is
     the latest box; association back-steps detections by v*dt instead."""

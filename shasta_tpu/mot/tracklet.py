@@ -9,6 +9,7 @@ import numpy as np
 
 from .hit_manager import HitManager
 from .kalman import (
+    FrameBasedKalmanFilterMotionModel,
     KalmanFilterMotionModel,
     MovingAverageMotionModel,
     NaiveMotionModel,
@@ -34,6 +35,11 @@ class Tracklet:
             self.motion_model = NaiveMotionModel(
                 bbox=bbox, velo=self.aux_info.get("velo", np.zeros(2)),
                 inst_type=det_type, time_stamp=time_stamp,
+            )
+        elif mm == "fbkf":
+            self.motion_model = FrameBasedKalmanFilterMotionModel(
+                bbox=bbox, inst_type=det_type, time_stamp=time_stamp,
+                covariance=configs["running"].get("covariance", "default"),
             )
         elif mm == "ma":
             self.motion_model = MovingAverageMotionModel(

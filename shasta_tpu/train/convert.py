@@ -68,8 +68,11 @@ def _conv2d(sd, prefix, has_bias=False):
 
 
 def _deconv2d(sd, prefix):
-    # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)
-    return {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 0, 1)}
+    # torch ConvTranspose2d (in, out, kh, kw) -> flax ConvTranspose
+    # (kh, kw, in, out) with SPATIALLY FLIPPED taps: torch's transposed conv
+    # correlates with the flipped kernel relative to lax.conv_transpose.
+    w = _np(sd[f"{prefix}.weight"])[:, :, ::-1, ::-1]
+    return {"kernel": np.ascontiguousarray(w.transpose(2, 3, 0, 1))}
 
 
 def _sparse_conv(sd, key, c_in, c_out, ks=(3, 3, 3)):

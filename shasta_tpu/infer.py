@@ -125,6 +125,119 @@ class ScenePipeline:
 
 
 @dataclass
+class BatchedScenePipeline:
+    """Scene-parallel inference: B independent scenes advance one frame per
+    step in a single XLA program.
+
+    The reference evaluates strictly sequentially at batch 1
+    (eval.py:96-113); here the trunk/affinity run natively batched and the
+    decision rules + tracker step are vmapped over the scene axis, so
+    offline eval of the ~150-scene val split runs B scenes wide. Scenes of
+    different lengths are handled with a per-scene `reset` mask (a True
+    entry zeroes that lane's carried state before the step, starting the
+    next scene in the slot).
+    """
+
+    model: ShastaModel
+    variables: Any
+    cls_id: int
+    params: st.TrackerParams
+    batch: int = 8
+    fp_thresh: float = 0.7
+    decision_thresh: float = 0.5
+    track_cap: int | None = None
+
+    def __post_init__(self):
+        cfg: ShastaConfig = self.model.cfg
+        N = cfg.max_obj
+        B = self.batch
+        self.cap = self.track_cap or N * (self.params.max_age + 1)
+        F = cfg.num_point * cfg.share_conv_channel
+
+        def one_lane(m1, m2, n_prev, n_curr, boxes, table, id_count, lag):
+            dec = apply_decision_rules(
+                m1, m2, n_prev, n_curr,
+                fp_thresh=self.fp_thresh, decision_thresh=self.decision_thresh,
+            )
+            dets = st.FrameDets(
+                ct=boxes[:, :2], velocity=boxes[:, 7:9],
+                cls=jnp.where(dec.keep, self.cls_id, -1).astype(jnp.int32),
+                score=boxes[:, 10], ref_score=dec.ref_score,
+                newborn=dec.newborn, dead=jnp.zeros_like(dec.keep),
+                valid=dec.keep,
+            )
+            table, id_count, tid, used, ref = st.step_frame(
+                table, id_count, dets, lag, self.params
+            )
+            return table, id_count, tid, used, ref, dec.keep
+
+        def step(variables, frame, reset, n_prev, n_curr, prev_boxes,
+                 prev_feat, tables, id_counts, lags):
+            # zero carried state for lanes starting a new scene
+            rz = reset[:, None, None]
+            prev_feat = jnp.where(rz, 0.0, prev_feat)
+            prev_boxes = jnp.where(rz, 0.0, prev_boxes)
+            n_prev = jnp.where(reset, 0, n_prev)
+            tables = jax.tree.map(
+                lambda x: jnp.where(
+                    reset.reshape((B,) + (1,) * (x.ndim - 1)),
+                    jnp.zeros_like(x), x,
+                ),
+                tables,
+            )
+            curr_feat = self.model.apply(
+                variables, frame, train=False, method=ShastaModel.frame_features
+            )
+            m1, m2 = self.model.apply(
+                variables, prev_boxes, frame["det_boxes"], prev_feat, curr_feat,
+                method=ShastaModel.affinity_step,
+            )
+            tables, id_counts, tid, used, ref, keep = jax.vmap(one_lane)(
+                m1, m2, n_prev, n_curr, frame["det_boxes"], tables, id_counts, lags
+            )
+            return curr_feat, tables, id_counts, tid, used, ref, keep
+
+        self._step = jax.jit(step)
+        self.reset()
+
+    def reset(self):
+        cfg = self.model.cfg
+        B = self.batch
+        self._prev_feat = jnp.zeros(
+            (B, cfg.max_obj, cfg.num_point * cfg.share_conv_channel)
+        )
+        self._prev_boxes = jnp.zeros((B, cfg.max_obj, 11))
+        self._n_prev = jnp.zeros((B,), jnp.int32)
+        self._tables = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(),
+            st.TrackTable.empty(self.cap),
+        )
+        # large disjoint id offsets keep ids unique across lanes
+        self._id_counts = jnp.arange(self.batch, dtype=jnp.int32) * 1_000_000
+
+    def step_frames(self, frame_np: dict, n_curr, reset, time_lags):
+        """Advance all B scene lanes by one frame.
+
+        frame_np: batched voxel/box arrays (B, ...); n_curr (B,) real det
+        counts; reset (B,) bool new-scene flags; time_lags (B,).
+        Returns numpy (tids, used, keep, ref) each (B, N)."""
+        frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
+        curr_feat, tables, id_counts, tid, used, ref, keep = self._step(
+            self.variables, frame, jnp.asarray(reset), self._n_prev,
+            jnp.asarray(n_curr, jnp.int32), self._prev_boxes, self._prev_feat,
+            self._tables, self._id_counts, jnp.asarray(time_lags, jnp.float32),
+        )
+        self._prev_feat = curr_feat
+        self._prev_boxes = frame["det_boxes"]
+        self._n_prev = jnp.asarray(n_curr, jnp.int32)
+        self._tables = tables
+        self._id_counts = id_counts
+        return (
+            np.asarray(tid), np.asarray(used), np.asarray(keep), np.asarray(ref)
+        )
+
+
+@dataclass
 class MultiClassScenePipeline:
     """Shared-trunk 7-class inference.
 

@@ -1,0 +1,63 @@
+"""BatchedScenePipeline: B scene lanes advance together and match the
+single-scene ScenePipeline lane-for-lane."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from shasta_tpu.data.synthetic import make_batch
+from shasta_tpu.infer import (
+    BatchedScenePipeline,
+    ScenePipeline,
+    default_tracker_params,
+)
+from shasta_tpu.models import ShastaModel, ShastaConfig
+
+
+def test_batched_matches_single(rng):
+    cfg = ShastaConfig(
+        max_obj=6, grid_shape=(41, 48, 48), pc_start=(-3.0, -3.0),
+        cap_conv2=512, cap_conv3=256, cap_conv4=128, cap_extra=128,
+    )
+    model = ShastaModel(cfg)
+    B = 2
+    b0 = make_batch(cfg, 1, 512, n_dets=4, seed=0)
+    b1 = make_batch(cfg, 1, 512, n_dets=5, seed=1)
+    variables = model.init(
+        jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in b0.items()}, train=False
+    )
+
+    params = default_tracker_params(max_age=4)
+    batched = BatchedScenePipeline(
+        model=model, variables=variables, cls_id=2, params=params, batch=B,
+    )
+    singles = [
+        ScenePipeline(model=model, variables=variables, cls_id=2, params=params)
+        for _ in range(B)
+    ]
+
+    frames = [
+        (b0, [4, 5]),
+        (make_batch(cfg, 1, 512, n_dets=4, seed=2), [4, 5]),
+    ]
+    keys = ("voxels", "num_points", "coordinates", "voxels_valid", "det_boxes")
+    for fi, (fb, n_currs) in enumerate(frames):
+        # lane 0 uses fb as-is; lane 1 uses the other synthetic batch
+        other = b1 if fi == 0 else make_batch(cfg, 1, 512, n_dets=5, seed=3)
+        stacked = {
+            k: np.concatenate([fb[k], other[k]], axis=0) for k in keys
+        }
+        reset = np.array([fi == 0, fi == 0])
+        lags = np.array([0.5, 0.5])
+        tids, used, keep, refs = batched.step_frames(stacked, n_currs, reset, lags)
+        for lane, lane_batch in enumerate((fb, other)):
+            frame = {k: lane_batch[k] for k in keys}
+            s_tids, s_used, s_keep, s_refs = singles[lane].step_frame(
+                frame, n_currs[lane], 0.5
+            )
+            np.testing.assert_array_equal(used[lane], s_used, err_msg=f"lane {lane}")
+            # ids offset by lane * 1e6 in the batched pipeline
+            off = lane * 1_000_000
+            got = np.where(used[lane], tids[lane] - off, 0)
+            want = np.where(s_used, s_tids, 0)
+            np.testing.assert_array_equal(got, want, err_msg=f"lane {lane} frame {fi}")
+            np.testing.assert_allclose(refs[lane], s_refs, atol=1e-6)

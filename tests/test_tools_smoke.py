@@ -111,6 +111,55 @@ def test_eval_merge_pubtest_flow(tree):
     assert all(len(ids) >= 2 for ids in ids_per_frame)
 
 
+def test_track_scene_cli(tree):
+    tmp = tree["tmp"]
+    ckpt = tmp / "train" / "epoch_1"
+    if not ckpt.exists():
+        _run([
+            "tools/train.py", "--config", str(tree["cfg"]), "--smoke", "--cpu",
+            "--epochs", "1", "--smoke_steps", "1", "--work_dir", str(tmp / "train"),
+        ])
+    out = tmp / "scene_track" / "tracking_result.json"
+    png = tmp / "scene_track" / "tracks.png"
+    _run([
+        "tools/track_scene.py", "--config", str(tree["cfg"]), "--cpu",
+        "--checkpoint", str(ckpt), "--split", "val",
+        "--out", str(out), "--render", str(png),
+    ])
+    result = json.load(open(out))
+    assert len(result["results"]) == 3
+    assert png.stat().st_size > 1000
+
+
+def test_check_artifacts_cli(tree):
+    r = _run([
+        "tools/check_artifacts.py", "--data", str(tree["out"]), "--split", "val",
+    ])
+    assert "0 problem(s)" in r.stdout
+
+
+def test_estimate_stats_cli(tree):
+    out = tree["tmp"] / "stats"
+    _run([
+        "tools/estimate_stats.py", "--data", str(tree["out"] / "val_2hz"),
+        "--out", str(out), "--name", "test",
+    ])
+    P = json.load(open(out / "P_test.json"))
+    assert "car" in P and len(P["car"]) == 11
+
+
+def test_run_oracle_mot_cli(tree):
+    out = tree["tmp"] / "oracle.json"
+    r = _run([
+        "tools/run_oracle_mot.py", "--data", str(tree["out"] / "val_2hz"),
+        "--oracle", "dets", "--asso", "euler", "--out", str(out),
+    ])
+    summary = json.load(open(out))
+    # oracle-dets on near-perfect synthetic detections tracks well
+    assert summary["mota"] > 0.5, summary
+    assert summary["idsw"] == 0
+
+
 def test_create_data_infos(tree):
     out = tree["tmp"] / "infos_test.pkl"
     _run([

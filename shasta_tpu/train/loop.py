@@ -110,19 +110,29 @@ def create_train_state(model, variables, tx) -> TrainState:
 
 
 def make_train_step(model, tx, mesh: Mesh | None = None, axis: str = "data",
-                    bn_train: bool = False, donate: bool = True):
-    """Build the jitted train step; data-parallel over `mesh` if given."""
+                    bn_train: bool = False, donate: bool = True,
+                    remat: bool = False):
+    """Build the jitted train step; data-parallel over `mesh` if given.
 
-    def loss_fn(params, batch_stats, batch):
+    remat=True rematerializes the forward during backprop (jax.checkpoint)
+    — trades trunk FLOPs for activation memory, the TPU HBM lever for
+    larger per-device batches."""
+
+    def _forward(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
         if bn_train:
             (m1, m2), updates = model.apply(
                 variables, batch, train=True, mutable=["batch_stats"]
             )
-            new_stats = updates["batch_stats"]
-        else:
-            m1, m2 = model.apply(variables, batch, train=False)
-            new_stats = batch_stats
+            return m1, m2, updates["batch_stats"]
+        m1, m2 = model.apply(variables, batch, train=False)
+        return m1, m2, batch_stats
+
+    if remat:
+        _forward = jax.checkpoint(_forward)
+
+    def loss_fn(params, batch_stats, batch):
+        m1, m2, new_stats = _forward(params, batch_stats, batch)
         loss = bidirectional_ce(m1, m2, batch["gt"])
         return loss, new_stats
 

@@ -75,6 +75,12 @@ class ScenePipeline:
                 m1[0], m2[0], n_prev, n_curr,
                 fp_thresh=self.fp_thresh, decision_thresh=self.decision_thresh,
             )
+            # Retroactive ShaSTA dead flags: dec.dead indexes the PREV
+            # frame's dets, which occupy table slots 0..N-1 (det-major
+            # layout) — mark those tracks so the tracker drops them when
+            # unmatched near a det (eval.py:175-181 + pub_tracker.py:171).
+            dead_pad = jnp.zeros((table.dead.shape[0],), bool).at[:N].set(dec.dead)
+            table = table._replace(dead=table.dead | (dead_pad & table.used))
             boxes = frame["det_boxes"][0]
             dets = st.FrameDets(
                 ct=boxes[:, :2],
@@ -159,6 +165,10 @@ class BatchedScenePipeline:
                 m1, m2, n_prev, n_curr,
                 fp_thresh=self.fp_thresh, decision_thresh=self.decision_thresh,
             )
+            # retroactive dead flags onto prev-det track slots (see
+            # ScenePipeline.step)
+            dead_pad = jnp.zeros((table.dead.shape[0],), bool).at[:N].set(dec.dead)
+            table = table._replace(dead=table.dead | (dead_pad & table.used))
             dets = st.FrameDets(
                 ct=boxes[:, :2], velocity=boxes[:, 7:9],
                 cls=jnp.where(dec.keep, self.cls_id, -1).astype(jnp.int32),
@@ -342,6 +352,16 @@ class MultiClassScenePipeline:
             )
             cid = NUSCENES_TRACKING_NAMES.index(name)
             b0 = boxes[0]
+            # retroactive dead flags for this class's prev-det track slots
+            lo = offset
+            dead_pad = (
+                jnp.zeros((self._table.dead.shape[0],), bool)
+                .at[lo : lo + model.cfg.max_obj]
+                .set(dec.dead)
+            )
+            self._table = self._table._replace(
+                dead=self._table.dead | (dead_pad & self._table.used)
+            )
             det_parts.append(st.FrameDets(
                 ct=b0[:, :2], velocity=b0[:, 7:9],
                 cls=jnp.where(dec.keep, cid, -1).astype(jnp.int32),

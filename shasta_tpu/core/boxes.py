@@ -78,7 +78,9 @@ def quaternion_yaw(q: np.ndarray) -> float:
     Matches det3d/datasets/nuscenes/nuscenes.py:35-50 (rotates [1,0,0] by the
     quaternion and takes atan2 of the xy projection) without pyquaternion.
     """
-    w, x, y, z = float(q[0]), float(q[1]), float(q[2]), float(q[3])
+    q = np.asarray(q, np.float64)
+    n = np.linalg.norm(q)
+    w, x, y, z = q / (n if n > 0 else 1.0)  # pyquaternion normalizes
     # First column of the rotation matrix = R @ [1,0,0].
     vx = 1.0 - 2.0 * (y * y + z * z)
     vy = 2.0 * (x * y + z * w)

@@ -167,11 +167,19 @@ def read_nusc_points(path: str) -> np.ndarray:
     return out
 
 
+def _remove_close(points: np.ndarray, radius: float = 1.0) -> np.ndarray:
+    """Drop ego-vehicle returns: points with |x| AND |y| below radius
+    (loading.py read_sweep -> remove_close, min_distance=1.0)."""
+    close = (np.abs(points[:, 0]) < radius) & (np.abs(points[:, 1]) < radius)
+    return points[~close]
+
+
 def load_sweep_points(info: dict, nsweeps: int, rng: np.random.Generator) -> np.ndarray:
     """Key frame + (nsweeps-1) randomly chosen transformed sweeps.
 
-    Matches loading.py:117-148: sweep points transformed by the stored
-    4x4 transform_matrix; per-point time lag in the 5th channel.
+    Matches loading.py:117-148: sweep points ego-filtered (remove_close)
+    and transformed by the stored 4x4 transform_matrix; per-point time lag
+    in the 5th channel.
     """
     points = read_nusc_points(info["lidar_path"])
     clouds = [points]
@@ -180,7 +188,7 @@ def load_sweep_points(info: dict, nsweeps: int, rng: np.random.Generator) -> np.
         chosen = rng.choice(len(sweeps), min(nsweeps - 1, len(sweeps)), replace=False)
         for i in chosen:
             sw = sweeps[i]
-            p = read_nusc_points(sw["lidar_path"])
+            p = _remove_close(read_nusc_points(sw["lidar_path"]))
             tm = np.asarray(sw["transform_matrix"])
             if tm is not None and tm.shape == (4, 4):
                 xyz1 = np.concatenate([p[:, :3], np.ones((len(p), 1), np.float32)], 1)

@@ -131,6 +131,24 @@ def test_track_scene_cli(tree):
     assert png.stat().st_size > 1000
 
 
+def test_validate_cli_with_lite_amota(tree):
+    tmp = tree["tmp"]
+    ckpt = tmp / "train" / "epoch_1"
+    if not ckpt.exists():
+        _run([
+            "tools/train.py", "--config", str(tree["cfg"]), "--smoke", "--cpu",
+            "--epochs", "1", "--smoke_steps", "1", "--work_dir", str(tmp / "train"),
+        ])
+    work = tmp / "validate"
+    r = _run([
+        "tools/validate.py", "--config", str(tree["cfg"]), "--cpu",
+        "--checkpoint", str(ckpt), "--work_dir", str(work), "--skip_eval",
+        "--gt_info_dir", str(tree["out"] / "val_2hz" / "gt_info" / "individual_frames"),
+    ])
+    assert "AMOTA-lite" in r.stdout
+    assert (work / "tracking_result.json").exists()
+
+
 def test_check_artifacts_cli(tree):
     r = _run([
         "tools/check_artifacts.py", "--data", str(tree["out"]), "--split", "val",

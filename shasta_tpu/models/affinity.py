@@ -190,7 +190,12 @@ class AffinityNet(nn.Module):
         )
         dc = jnp.cos(boxes_t[:, :, None, 6]) - jnp.cos(boxes_d[:, None, :, 6])
         ds = jnp.sin(boxes_t[:, :, None, 6]) - jnp.sin(boxes_d[:, None, :, 6])
-        residual_rot = jnp.sqrt(dc * dc + ds * ds)
+        # safe sqrt: identical forward; zero subgradient at exactly-equal
+        # yaws (padded rows) instead of the NaN d/dx sqrt(0) would produce
+        rot_sq = dc * dc + ds * ds
+        residual_rot = jnp.where(
+            rot_sq > 0, jnp.sqrt(jnp.where(rot_sq > 0, rot_sq, 1.0)), 0.0
+        )
         residual_hand = residual_dist + residual_dim + residual_rot
 
         # --- learned residuals (pairwise MLPs, split first layer) ---

@@ -15,3 +15,20 @@ the upstream repository.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API (keeps `import shasta_tpu` light)
+    if name in ("ShastaModel", "ShastaConfig"):
+        from . import models
+
+        return getattr(models, name)
+    if name in ("ScenePipeline", "BatchedScenePipeline", "MultiClassScenePipeline"):
+        from . import infer
+
+        return getattr(infer, name)
+    if name == "register_all":
+        from .registry_setup import register_all
+
+        return register_all
+    raise AttributeError(name)

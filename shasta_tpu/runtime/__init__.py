@@ -118,10 +118,11 @@ def pc_in_box(box_mot: np.ndarray, pc: np.ndarray, scale: float = 1.5) -> np.nda
     b = np.ascontiguousarray(box_mot[:7], np.float32)
     p = np.ascontiguousarray(pc[:, :3], np.float32)
     if lib is None:
-        d = p - b[:2][None, :]  # fallback replicates the kernel directly
+        # replicate the C++ kernel (host_ops.cpp pc_in_box) directly
+        dx, dy = p[:, 0] - b[0], p[:, 1] - b[1]
         cs, sn = np.cos(b[3]), np.sin(b[3])
-        rx = d[:, 0] * cs + (p[:, 1] - b[1]) * sn
-        ry = -(p[:, 0] - b[0]) * sn + (p[:, 1] - b[1]) * cs
+        rx = dx * cs + dy * sn
+        ry = -dx * sn + dy * cs
         rz = p[:, 2] - b[2]
         return (
             (np.abs(rx) < b[4] * scale / 2)

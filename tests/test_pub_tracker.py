@@ -97,6 +97,55 @@ def test_max_age_aging():
     assert all(d["active"] for d in out)  # aged out
 
 
+def test_hungarian_differs_from_greedy_globally_optimal():
+    """Case where greedy and Hungarian disagree: greedy takes the single
+    cheapest edge (0,0) and strands det 1; Hungarian minimizes the total
+    (pub_tracker.py:100-117 reference semantics)."""
+    from shasta_tpu.tracker.pub_tracker import _assign
+
+    dist = np.array([[1.0, 2.0], [1.1, 1e18]])
+    g_matches, g_extra = _assign(dist, hungarian=False)
+    h_matches, h_extra = _assign(dist, hungarian=True)
+    assert sorted(g_matches) == [(0, 0)]  # greedy: (1,1) is gated out
+    assert sorted(h_matches) == [(0, 1), (1, 0)]  # global optimum
+    assert g_extra == [] and h_extra == []
+
+
+def test_hungarian_extra_unmatched_gated_pairs():
+    """Hungarian pairs with cost > 1e16 are stripped from matches and the
+    det index is returned as extra-unmatched (pub_tracker.py:108-113)."""
+    from shasta_tpu.tracker.pub_tracker import _assign
+
+    # forced assignment: 2x2 where one det can only pair at 1e18
+    dist = np.array([[0.1, 1e18], [1e18, 1e18]])
+    matches, extra = _assign(dist, hungarian=True)
+    assert matches == [(0, 0)]
+    assert extra == [1]
+
+
+def test_hungarian_tracker_end_to_end():
+    """PubTracker(hungarian=True): swapped-proximity frame where greedy
+    would chain-mismatch but Hungarian keeps both ids."""
+    tg = PubTracker(max_age=3)
+    th = PubTracker(hungarian=True, max_age=3)
+    # bus gate = 4. Tracks at (0,0) and (3.6,0). Frame 2 dets:
+    #   A=(1,0):   d(t0)=1.0, d(t1)=2.6
+    #   B=(0,1.1): d(t0)=1.1, d(t1)=3.76
+    # greedy takes the global-min edge A->t0 (1.0), forcing B->t1 (3.76),
+    # total 4.76; Hungarian minimizes the sum: A->t1 + B->t0 = 3.7.
+    frame1 = [_det(0, 0, "bus"), _det(3.6, 0, "bus")]
+    for t in (tg, th):
+        t.step_centertrack(frame1, 0.5)
+    ids1 = [d["tracking_id"] for d in th.tracks]  # same ids in both trackers
+    frame2 = [_det(1.0, 0, "bus", newborn=True), _det(0, 1.1, "bus", newborn=True)]
+    out_h = th.step_centertrack(frame2, 0.5)
+    by_ct_h = {tuple(np.round(d["ct"], 1)): d["tracking_id"] for d in out_h}
+    assert by_ct_h[(1.0, 0.0)] == ids1[1] and by_ct_h[(0.0, 1.1)] == ids1[0]
+    out_g = tg.step_centertrack(frame2, 0.5)
+    by_ct_g = {tuple(np.round(d["ct"], 1)): d["tracking_id"] for d in out_g}
+    assert by_ct_g[(1.0, 0.0)] == ids1[0] and by_ct_g[(0.0, 1.1)] == ids1[1]
+
+
 def test_merged_per_class_refinement_and_drop():
     t = PubTrackerMerged(max_age=3)
     out = t.step_centertrack([_det(0, 0, "car", 0.8), _det(5, 5, "bus", 0.6)], 0.5)

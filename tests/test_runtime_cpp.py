@@ -78,6 +78,57 @@ def test_pc_in_box_matches_numpy(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.fixture
+def no_lib(monkeypatch):
+    """Force every runtime entry point onto its numpy/JAX fallback."""
+    monkeypatch.setattr(runtime, "_lib", None)
+    monkeypatch.setattr(runtime, "_lib_failed", True)
+
+
+def test_fallback_iou_bev(rng, no_lib):
+    b1, b2 = _rand_boxes(rng, 8), _rand_boxes(rng, 6)
+    got = runtime.iou_bev(b1, b2)
+    assert got.shape == (8, 6) and np.all(got >= 0) and np.all(got <= 1 + 1e-5)
+
+
+def test_fallback_iou_3d(rng, no_lib):
+    b1, b2 = _rand_boxes(rng, 7), _rand_boxes(rng, 5)
+    got = runtime.iou_3d(b1, b2)
+    assert got.shape == (7, 5) and np.all(got >= 0) and np.all(got <= 1 + 1e-5)
+
+
+def test_fallback_rotate_nms(rng, no_lib):
+    from shasta_tpu.ops.nms import rotate_nms_np
+
+    b = _rand_boxes(rng, 20)
+    s = rng.uniform(0, 1, 20).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.sort(runtime.rotate_nms(b, s, 0.3)), np.sort(rotate_nms_np(b, s, 0.3))
+    )
+
+
+def test_fallback_pc_in_box_matches_cpp(rng):
+    """The numpy fallback must agree with the compiled kernel bit-for-bit
+    (regression: the fallback used to crash on a (P,3)-(1,2) broadcast)."""
+    box = np.array([1.0, -2.0, 0.5, 0.7, 4.0, 2.0, 1.8], np.float32)
+    pc = rng.uniform(-5, 6, (400, 3)).astype(np.float32)
+    want = runtime.pc_in_box(box, pc, 1.5)  # compiled path
+    saved = (runtime._lib, runtime._lib_failed)
+    try:
+        runtime._lib, runtime._lib_failed = None, True
+        got = runtime.pc_in_box(box, pc, 1.5)
+    finally:
+        runtime._lib, runtime._lib_failed = saved
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fallback_voxelizer(rng, no_lib):
+    pts = rng.uniform(-2, 2, size=(800, 5)).astype(np.float32)
+    v, c, n = runtime.points_to_voxel(pts, [0.5, 0.5, 0.5], [-2, -2, -2, 2, 2, 2],
+                                      max_points=5, max_voxels=100)
+    assert len(v) == len(c) == len(n) and len(v) <= 100
+
+
 def test_voxelizer_speed(rng):
     import time
 

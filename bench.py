@@ -106,12 +106,12 @@ def main():
     )
 
     # warmup / compile
-    tids, used, keep, refs = pipe.step_frame(frame, N_DETS, 0.5)
+    out = pipe.step_frame(frame, N_DETS, 0.5)
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        tids, used, keep, refs = pipe.step_frame(frame, N_DETS, 0.5)
+        out = pipe.step_frame(frame, N_DETS, 0.5)
     dt = time.perf_counter() - t0
     fps = iters / dt
 

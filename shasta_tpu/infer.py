@@ -17,7 +17,7 @@ host code formats nuScenes annos from the tiny outputs.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,48 @@ def default_tracker_params(max_age: int = 4, merged: bool = True) -> st.TrackerP
     )
 
 
+class StepOutput(NamedTuple):
+    """Per-frame pipeline outputs. Det rows [0, N) are the current frame's
+    detections; rows [N, 2N) are FN-propagated prev-frame boxes injected as
+    synthetic detections (eval.py:141-148)."""
+
+    tid: np.ndarray  # (2N,) int — track id per det row
+    used: np.ndarray  # (2N,) bool — row is an active track this frame
+    keep: np.ndarray  # (N,) bool — curr det survives FP elimination
+    ref: np.ndarray  # (2N,) float — tracker-refined score per row
+    fn: np.ndarray  # (N,) bool — prev det n was propagated as an FN row
+
+
+def _dets_with_fn(boxes, prev_boxes, dec, cls_id):
+    """Build the tracker's det rows: kept curr dets [0, N) followed by
+    FN-propagated prev boxes [N, 2N).
+
+    Mirrors the reference exactly (eval.py:141-148): the propagated
+    translation moves the prev box FORWARD by its own stored time lag
+    (prev_det_boxes[0, 0, 9] — the prev frame's dt, not the current gap),
+    keeps the prev velocity and raw score, and refines with
+    1 - P(dead). FN rows carry no newborn flag, so like the reference's
+    annos they are subject to near-track suppression in the tracker.
+    """
+    N = boxes.shape[0]
+    fn_lag = prev_boxes[0, 9]
+    fn_ct = prev_boxes[:, :2] + fn_lag * prev_boxes[:, 7:9]
+    false_n = jnp.zeros((N,), bool)
+    return st.FrameDets(
+        ct=jnp.concatenate([boxes[:, :2], fn_ct]),
+        velocity=jnp.concatenate([boxes[:, 7:9], prev_boxes[:, 7:9]]),
+        cls=jnp.concatenate([
+            jnp.where(dec.keep, cls_id, -1),
+            jnp.where(dec.fn, cls_id, -1),
+        ]).astype(jnp.int32),
+        score=jnp.concatenate([boxes[:, 10], prev_boxes[:, 10]]),
+        ref_score=jnp.concatenate([dec.ref_score, dec.fn_ref_score]),
+        newborn=jnp.concatenate([dec.newborn, false_n]),
+        dead=jnp.zeros((2 * N,), bool),
+        valid=jnp.concatenate([dec.keep, dec.fn]),
+    )
+
+
 @dataclass
 class ScenePipeline:
     """Jitted per-frame scene inference for one class model."""
@@ -60,7 +102,8 @@ class ScenePipeline:
     def __post_init__(self):
         cfg: ShastaConfig = self.model.cfg
         N = cfg.max_obj
-        self.cap = self.track_cap or N * (self.params.max_age + 1)
+        # det-major slots now hold 2N rows (curr dets + FN injections)
+        self.cap = self.track_cap or 2 * N * (self.params.max_age + 1)
 
         def step(variables, frame, n_prev, n_curr, prev_boxes, prev_feat,
                  table, id_count, time_lag):
@@ -81,16 +124,8 @@ class ScenePipeline:
             # unmatched near a det (eval.py:175-181 + pub_tracker.py:171).
             dead_pad = jnp.zeros((table.dead.shape[0],), bool).at[:N].set(dec.dead)
             table = table._replace(dead=table.dead | (dead_pad & table.used))
-            boxes = frame["det_boxes"][0]
-            dets = st.FrameDets(
-                ct=boxes[:, :2],
-                velocity=boxes[:, 7:9],
-                cls=jnp.where(dec.keep, self.cls_id, -1).astype(jnp.int32),
-                score=boxes[:, 10],
-                ref_score=dec.ref_score,
-                newborn=dec.newborn,
-                dead=jnp.zeros_like(dec.keep),
-                valid=dec.keep,
+            dets = _dets_with_fn(
+                frame["det_boxes"][0], prev_boxes[0], dec, self.cls_id
             )
             table, id_count, tid, used, ref = st.step_frame(
                 table, id_count, dets, time_lag, self.params
@@ -108,9 +143,9 @@ class ScenePipeline:
         self._table = st.TrackTable.empty(self.cap)
         self._id_count = jnp.int32(0)
 
-    def step_frame(self, frame_np: dict, n_curr: int, time_lag: float):
-        """frame_np: fixed-shape single-frame batch (B=1). Returns numpy
-        (tids (N,), active (N,), keep (N,), ref_scores (N,))."""
+    def step_frame(self, frame_np: dict, n_curr: int, time_lag: float) -> StepOutput:
+        """frame_np: fixed-shape single-frame batch (B=1). Returns a
+        StepOutput (det rows [0, N) = curr dets, [N, 2N) = FN injections)."""
         frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
         curr_feat, dec, table, id_count, tid, used, ref = self._step(
             self.variables, frame, self._n_prev, jnp.int32(n_curr),
@@ -122,11 +157,12 @@ class ScenePipeline:
         self._n_prev = jnp.int32(n_curr)
         self._table = table
         self._id_count = id_count
-        return (
-            np.asarray(tid),
-            np.asarray(used),
-            np.asarray(dec.keep),
-            np.asarray(ref),
+        return StepOutput(
+            tid=np.asarray(tid),
+            used=np.asarray(used),
+            keep=np.asarray(dec.keep),
+            ref=np.asarray(ref),
+            fn=np.asarray(dec.fn),
         )
 
 
@@ -157,10 +193,11 @@ class BatchedScenePipeline:
         cfg: ShastaConfig = self.model.cfg
         N = cfg.max_obj
         B = self.batch
-        self.cap = self.track_cap or N * (self.params.max_age + 1)
+        self.cap = self.track_cap or 2 * N * (self.params.max_age + 1)
         F = cfg.num_point * cfg.share_conv_channel
 
-        def one_lane(m1, m2, n_prev, n_curr, boxes, table, id_count, lag):
+        def one_lane(m1, m2, n_prev, n_curr, boxes, prev_boxes, table,
+                     id_count, lag):
             dec = apply_decision_rules(
                 m1, m2, n_prev, n_curr,
                 fp_thresh=self.fp_thresh, decision_thresh=self.decision_thresh,
@@ -169,17 +206,11 @@ class BatchedScenePipeline:
             # ScenePipeline.step)
             dead_pad = jnp.zeros((table.dead.shape[0],), bool).at[:N].set(dec.dead)
             table = table._replace(dead=table.dead | (dead_pad & table.used))
-            dets = st.FrameDets(
-                ct=boxes[:, :2], velocity=boxes[:, 7:9],
-                cls=jnp.where(dec.keep, self.cls_id, -1).astype(jnp.int32),
-                score=boxes[:, 10], ref_score=dec.ref_score,
-                newborn=dec.newborn, dead=jnp.zeros_like(dec.keep),
-                valid=dec.keep,
-            )
+            dets = _dets_with_fn(boxes, prev_boxes, dec, self.cls_id)
             table, id_count, tid, used, ref = st.step_frame(
                 table, id_count, dets, lag, self.params
             )
-            return table, id_count, tid, used, ref, dec.keep
+            return table, id_count, tid, used, ref, dec.keep, dec.fn
 
         def step(variables, frame, reset, n_prev, n_curr, prev_boxes,
                  prev_feat, tables, id_counts, lags):
@@ -202,10 +233,11 @@ class BatchedScenePipeline:
                 variables, prev_boxes, frame["det_boxes"], prev_feat, curr_feat,
                 method=ShastaModel.affinity_step,
             )
-            tables, id_counts, tid, used, ref, keep = jax.vmap(one_lane)(
-                m1, m2, n_prev, n_curr, frame["det_boxes"], tables, id_counts, lags
+            tables, id_counts, tid, used, ref, keep, fn = jax.vmap(one_lane)(
+                m1, m2, n_prev, n_curr, frame["det_boxes"], prev_boxes,
+                tables, id_counts, lags,
             )
-            return curr_feat, tables, id_counts, tid, used, ref, keep
+            return curr_feat, tables, id_counts, tid, used, ref, keep, fn
 
         self._step = jax.jit(step)
         self.reset()
@@ -230,9 +262,10 @@ class BatchedScenePipeline:
 
         frame_np: batched voxel/box arrays (B, ...); n_curr (B,) real det
         counts; reset (B,) bool new-scene flags; time_lags (B,).
-        Returns numpy (tids, used, keep, ref) each (B, N)."""
+        Returns a StepOutput of batched arrays: tid/used/ref (B, 2N) with
+        FN rows at [N, 2N), keep/fn (B, N)."""
         frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
-        curr_feat, tables, id_counts, tid, used, ref, keep = self._step(
+        curr_feat, tables, id_counts, tid, used, ref, keep, fn = self._step(
             self.variables, frame, jnp.asarray(reset), self._n_prev,
             jnp.asarray(n_curr, jnp.int32), self._prev_boxes, self._prev_feat,
             self._tables, self._id_counts, jnp.asarray(time_lags, jnp.float32),
@@ -242,8 +275,9 @@ class BatchedScenePipeline:
         self._n_prev = jnp.asarray(n_curr, jnp.int32)
         self._tables = tables
         self._id_counts = id_counts
-        return (
-            np.asarray(tid), np.asarray(used), np.asarray(keep), np.asarray(ref)
+        return StepOutput(
+            tid=np.asarray(tid), used=np.asarray(used), keep=np.asarray(keep),
+            ref=np.asarray(ref), fn=np.asarray(fn),
         )
 
 
@@ -322,13 +356,14 @@ class MultiClassScenePipeline:
                 "prev_boxes": jnp.zeros((1, cfg.max_obj, 11)),
                 "n_prev": jnp.int32(0),
             }
-        cap = sum(m.cfg.max_obj for m, _ in self.class_heads.values())
+        cap = sum(2 * m.cfg.max_obj for m, _ in self.class_heads.values())
         self._table = st.TrackTable.empty(cap * (self.params.max_age + 1))
         self._id_count = jnp.int32(0)
 
     def step_frame(self, frame_np: dict, class_boxes: dict, time_lag: float):
         """frame_np: voxel arrays (B=1). class_boxes: {name: (det_boxes11
-        (1,N_c,11), n_curr)}. Returns {name: (tids, used, keep, ref)}."""
+        (1,N_c,11), n_curr)}. Returns {name: StepOutput} with per-class
+        tid/used/ref of length 2*N_c (FN rows at [N_c, 2*N_c))."""
         frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
         bev = self._bev(frame)
         # per-class decision rules, concatenated class-major into one
@@ -343,16 +378,17 @@ class MultiClassScenePipeline:
             boxes, n_curr = class_boxes[name]
             boxes = jnp.asarray(boxes)
             s = self._state[name]
+            prev_boxes = s["prev_boxes"]
             curr_feat, dec = self._heads[name](
-                variables, bev, s["prev_boxes"], boxes, s["prev_feat"],
+                variables, bev, prev_boxes, boxes, s["prev_feat"],
                 s["n_prev"], jnp.int32(n_curr),
             )
             s["prev_feat"], s["prev_boxes"], s["n_prev"] = (
                 curr_feat, boxes, jnp.int32(n_curr),
             )
             cid = NUSCENES_TRACKING_NAMES.index(name)
-            b0 = boxes[0]
             # retroactive dead flags for this class's prev-det track slots
+            # (the first N_c rows of its 2*N_c det-major span)
             lo = offset
             dead_pad = (
                 jnp.zeros((self._table.dead.shape[0],), bool)
@@ -362,15 +398,9 @@ class MultiClassScenePipeline:
             self._table = self._table._replace(
                 dead=self._table.dead | (dead_pad & self._table.used)
             )
-            det_parts.append(st.FrameDets(
-                ct=b0[:, :2], velocity=b0[:, 7:9],
-                cls=jnp.where(dec.keep, cid, -1).astype(jnp.int32),
-                score=b0[:, 10], ref_score=dec.ref_score,
-                newborn=dec.newborn, dead=jnp.zeros_like(dec.keep),
-                valid=dec.keep,
-            ))
-            spans[name] = (offset, offset + model.cfg.max_obj, dec)
-            offset += model.cfg.max_obj
+            det_parts.append(_dets_with_fn(boxes[0], prev_boxes[0], dec, cid))
+            spans[name] = (offset, offset + 2 * model.cfg.max_obj, dec)
+            offset += 2 * model.cfg.max_obj
 
         dets = st.FrameDets(*[
             jnp.concatenate([getattr(p, f) for p in det_parts], axis=0)
@@ -382,7 +412,11 @@ class MultiClassScenePipeline:
         tid, used, ref = map(np.asarray, (tid, used, ref))
         out = {}
         for name, (lo, hi, dec) in spans.items():
-            out[name] = (tid[lo:hi], used[lo:hi], np.asarray(dec.keep), ref[lo:hi])
+            out[name] = StepOutput(
+                tid=tid[lo:hi], used=used[lo:hi],
+                keep=np.asarray(dec.keep), ref=ref[lo:hi],
+                fn=np.asarray(dec.fn),
+            )
         return out
 
 
@@ -401,6 +435,23 @@ def track_scene_dataset(pipeline: ScenePipeline, dataset, frame_lags=None,
             pass
     from .data.nuscenes import collate
 
+    N = pipeline.model.cfg.max_obj
+
+    def anno_from(src: dict, token: str, tid: int, score: float,
+                  translation=None) -> dict:
+        return {
+            "sample_token": token,
+            "translation": list(translation if translation is not None
+                                else src["translation"]),
+            "size": list(src["size"]),
+            "rotation": list(src["rotation"]),
+            "velocity": list(src["velocity"]),
+            "tracking_id": str(int(tid)),
+            "tracking_name": src["detection_name"],
+            "tracking_score": float(score),
+            "attribute_name": src.get("attribute_name"),
+        }
+
     pipeline.reset()
     for i in it:
         sample = dataset[i]
@@ -409,23 +460,31 @@ def track_scene_dataset(pipeline: ScenePipeline, dataset, frame_lags=None,
         batch = collate([sample])
         n_curr = len(sample["cls_det_boxes"])
         lag = float(sample["det_boxes"][0, 9]) if n_curr else 0.5
-        tids, used, keep, refs = pipeline.step_frame(batch, n_curr, lag)
+        out = pipeline.step_frame(batch, n_curr, lag)
         annos = []
         for k in range(n_curr):
-            if not used[k]:
+            if not out.used[k]:
                 continue
-            a = dict(sample["cls_det_boxes"][k])
-            annos.append({
-                "sample_token": sample["token"],
-                "translation": list(a["translation"]),
-                "size": list(a["size"]),
-                "rotation": list(a["rotation"]),
-                "velocity": list(a["velocity"]),
-                "tracking_id": str(int(tids[k])),
-                "tracking_name": a["detection_name"],
-                "tracking_score": float(refs[k]),
-                "attribute_name": a.get("attribute_name"),
-            })
+            annos.append(anno_from(
+                sample["cls_det_boxes"][k], sample["token"],
+                out.tid[k], out.ref[k],
+            ))
+        # FN-propagated prev boxes tracked this frame (eval.py:141-148):
+        # translation moved forward by the prev frame's stored dt.
+        prev_cls = sample.get("prev_cls_det_boxes") or []
+        if prev_cls:
+            fn_lag = float(sample["prev_det_boxes"][0, 9])
+            for n in range(len(prev_cls)):
+                if not (out.fn[n] and out.used[N + n]):
+                    continue
+                src = prev_cls[n]
+                tr = list(src["translation"])
+                tr[0] += fn_lag * src["velocity"][0]
+                tr[1] += fn_lag * src["velocity"][1]
+                annos.append(anno_from(
+                    src, sample["token"], out.tid[N + n], out.ref[N + n],
+                    translation=tr,
+                ))
         results[sample["token"]] = annos
     return {"results": results, "meta": {
         "use_camera": False, "use_lidar": True, "use_radar": False,

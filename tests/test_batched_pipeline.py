@@ -48,16 +48,15 @@ def test_batched_matches_single(rng):
         }
         reset = np.array([fi == 0, fi == 0])
         lags = np.array([0.5, 0.5])
-        tids, used, keep, refs = batched.step_frames(stacked, n_currs, reset, lags)
+        out = batched.step_frames(stacked, n_currs, reset, lags)
         for lane, lane_batch in enumerate((fb, other)):
             frame = {k: lane_batch[k] for k in keys}
-            s_tids, s_used, s_keep, s_refs = singles[lane].step_frame(
-                frame, n_currs[lane], 0.5
-            )
-            np.testing.assert_array_equal(used[lane], s_used, err_msg=f"lane {lane}")
+            s = singles[lane].step_frame(frame, n_currs[lane], 0.5)
+            np.testing.assert_array_equal(out.used[lane], s.used, err_msg=f"lane {lane}")
+            np.testing.assert_array_equal(out.fn[lane], s.fn, err_msg=f"lane {lane}")
             # ids offset by lane * 1e6 in the batched pipeline
             off = lane * 1_000_000
-            got = np.where(used[lane], tids[lane] - off, 0)
-            want = np.where(s_used, s_tids, 0)
+            got = np.where(out.used[lane], out.tid[lane] - off, 0)
+            want = np.where(s.used, s.tid, 0)
             np.testing.assert_array_equal(got, want, err_msg=f"lane {lane} frame {fi}")
-            np.testing.assert_allclose(refs[lane], s_refs, atol=1e-6)
+            np.testing.assert_allclose(out.ref[lane], s.ref, atol=1e-6)

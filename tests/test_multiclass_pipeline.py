@@ -48,8 +48,8 @@ def test_multiclass_shared_trunk(rng):
     # second frame with same boxes: matched tracks keep their ids
     out2 = pipe.step_frame(frame, {"car": (car_boxes, 4), "bus": (bus_boxes, 3)}, 0.5)
     for name in ("car", "bus"):
-        t1, u1, k1, r1 = out1[name]
-        t2, u2, k2, r2 = out2[name]
+        t1, u1 = out1[name].tid, out1[name].used
+        t2, u2 = out2[name].tid, out2[name].used
         for i in range(len(t1)):
             if u1[i] and u2[i]:
                 assert t1[i] == t2[i], (name, i)

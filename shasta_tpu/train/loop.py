@@ -158,13 +158,16 @@ def make_train_step(model, tx, mesh: Mesh | None = None, axis: str = "data",
     if mesh is None:
         return jax.jit(local_step, donate_argnums=(0,) if donate else ())
 
-    from jax.experimental.shard_map import shard_map
+    if hasattr(jax, "shard_map"):
+        sharded = jax.shard_map(
+            local_step, mesh=mesh, in_specs=(P(), P(axis)),
+            out_specs=(P(), P()), check_vma=False,
+        )
+    else:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
-    sharded = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), P(axis)),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )
+        sharded = shard_map(
+            local_step, mesh=mesh, in_specs=(P(), P(axis)),
+            out_specs=(P(), P()), check_rep=False,
+        )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())

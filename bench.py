@@ -73,6 +73,10 @@ def main():
         cap_conv3=25000,
         cap_conv4=12000,
         cap_extra=12000,
+        # --pallas: A/B the VMEM-resident sparse-gather kernel vs XLA gather
+        use_pallas_gather="--pallas" in sys.argv,
+        # --bf16: trunk matmuls in bf16 (f32 accumulation)
+        dtype=jnp.bfloat16 if "--bf16" in sys.argv else None,
     )
     model = ShastaModel(cfg)
     V = 120000

@@ -60,6 +60,7 @@ class SubMConv(nn.Module):
     kernel: Sequence[int] = (3, 3, 3)
     use_bias: bool = True
     dtype: object = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, index: sp.NeighborIndex) -> sp.SparseTensor:
@@ -71,7 +72,8 @@ class SubMConv(nn.Module):
             (K, C, self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        return sp.subm_conv_apply(st, index, w, b, compute_dtype=self.dtype)
+        return sp.subm_conv_apply(st, index, w, b, compute_dtype=self.dtype,
+                                  use_pallas=self.use_pallas)
 
 
 class SparseBasicBlock(nn.Module):
@@ -80,14 +82,15 @@ class SparseBasicBlock(nn.Module):
     planes: int
     bn_axis_name: str | None = None
     dtype: object = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, st, index, train: bool = False):
         identity = st.feats
-        out = SubMConv(self.planes, dtype=self.dtype, name="conv1")(st, index)
+        out = SubMConv(self.planes, dtype=self.dtype, use_pallas=self.use_pallas, name="conv1")(st, index)
         f = SparseBN(axis_name=self.bn_axis_name, name="bn1")(out.feats, out.valid, train)
         f = nn.relu(f)
-        out = SubMConv(self.planes, dtype=self.dtype, name="conv2")(out._replace(feats=f), index)
+        out = SubMConv(self.planes, dtype=self.dtype, use_pallas=self.use_pallas, name="conv2")(out._replace(feats=f), index)
         f = SparseBN(axis_name=self.bn_axis_name, name="bn2")(out.feats, out.valid, train)
         f = nn.relu(f + identity)
         f = jnp.where(out.valid[:, None], f, 0.0)
@@ -102,6 +105,7 @@ class StridedConvBNReLU(nn.Module):
     max_out: int
     bn_axis_name: str | None = None
     dtype: object = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, st, train: bool = False):
@@ -113,7 +117,8 @@ class StridedConvBNReLU(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (K, C, self.features),
         )
-        out = sp.strided_conv_apply(st, plan, w, None, compute_dtype=self.dtype)  # bias=False (scn.py:126)
+        out = sp.strided_conv_apply(st, plan, w, None, compute_dtype=self.dtype,
+                                    use_pallas=self.use_pallas)  # bias=False (scn.py:126)
         f = SparseBN(axis_name=self.bn_axis_name, name="bn")(out.feats, out.valid, train)
         return out._replace(feats=nn.relu(f))
 
@@ -129,10 +134,14 @@ class SparseBackbone(nn.Module):
     cap_extra: int = 15000
     bn_axis_name: str | None = None
     dtype: object = None
+    # Route every conv's gather+matmul through the VMEM-resident Pallas
+    # kernel (inference only — no VJP; see ops/pallas/sparse_gather.py).
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, train: bool = False) -> jnp.ndarray:
-        bn = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        bn = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                  use_pallas=self.use_pallas)
 
         # conv_input + conv1 share position set "res0".
         idx0 = sp.build_subm_index(st)
@@ -141,7 +150,8 @@ class SparseBackbone(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (27, self.num_input_features, 16),
         )
-        x = sp.subm_conv_apply(st, idx0, w, None, compute_dtype=self.dtype)  # bias=False (scn.py:114)
+        x = sp.subm_conv_apply(st, idx0, w, None, compute_dtype=self.dtype,
+                               use_pallas=self.use_pallas)  # bias=False (scn.py:114)
         f = SparseBN(axis_name=self.bn_axis_name, name="conv_input_bn")(x.feats, x.valid, train)
         x = x._replace(feats=nn.relu(f))
         x = SparseBasicBlock(16, **bn, name="res0a")(x, idx0, train)

@@ -53,6 +53,9 @@ class ShastaConfig:
     cap_extra: int = 15000
     bn_axis_name: str | None = None
     dtype: Any = None  # jnp.bfloat16 for the trunk matmuls, None = f32
+    # Sparse-conv gathers via the VMEM-resident Pallas kernel (inference
+    # only; ops/pallas/sparse_gather.py). A/B this on-chip vs XLA gather.
+    use_pallas_gather: bool = False
 
 
 class ShastaModel(nn.Module):
@@ -68,6 +71,7 @@ class ShastaModel(nn.Module):
             cap_extra=c.cap_extra,
             bn_axis_name=c.bn_axis_name,
             dtype=c.dtype,
+            use_pallas=c.use_pallas_gather,
             name="backbone",
         )
         self.neck = RPN(dtype=c.dtype, name="neck")

@@ -106,29 +106,44 @@ def build_subm_index(st: SparseTensor, kernel: Sequence[int] = (3, 3, 3)) -> Nei
     return NeighborIndex(gather=_sorted_lookup(sorted_keys, perm, qk))  # (V, K)
 
 
+def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool):
+    """im2col core shared by subm/strided convs: (M, K) gather of table
+    rows -> one (M, K*C) x (K*C, Co) MXU matmul. use_pallas routes through
+    the VMEM-resident Pallas kernel (ops/pallas/sparse_gather.py) instead
+    of the XLA HBM gather — inference-only (no VJP defined)."""
+    M, K = gather.shape
+    V, C = feats.shape
+    dt = compute_dtype or feats.dtype
+    if use_pallas:
+        from .pallas.sparse_gather import gathered_conv_pallas
+
+        return gathered_conv_pallas(
+            feats.astype(dt), gather, weight.astype(dt)
+        )
+    padded = jnp.concatenate([feats, jnp.zeros((1, C), feats.dtype)], axis=0)
+    gathered = padded[gather]  # (M, K, C)
+    return jax.lax.dot_general(
+        gathered.reshape(M, K * C).astype(dt),
+        weight.reshape(K * C, -1).astype(dt),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def subm_conv_apply(
     st: SparseTensor,
     index: NeighborIndex,
     weight: jnp.ndarray,  # (K, C_in, C_out)
     bias: jnp.ndarray | None = None,
     compute_dtype=None,
+    use_pallas: bool = False,
 ) -> SparseTensor:
     """Apply a submanifold conv given precomputed neighbor indices.
 
     compute_dtype=jnp.bfloat16 runs the im2col matmul on the MXU in bf16
     with f32 accumulation (the free TPU win; SURVEY §2.8 mixed precision).
     """
-    V, C = st.feats.shape
-    K = weight.shape[0]
-    dt = compute_dtype or st.feats.dtype
-    padded = jnp.concatenate([st.feats, jnp.zeros((1, C), st.feats.dtype)], axis=0)
-    gathered = padded[index.gather]  # (V, K, C)
-    out = jax.lax.dot_general(
-        gathered.reshape(V, K * C).astype(dt),
-        weight.reshape(K * C, -1).astype(dt),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    out = _gathered_matmul(st.feats, index.gather, weight, compute_dtype, use_pallas)
     if bias is not None:
         out = out + bias
     out = jnp.where(st.valid[:, None], out, 0.0)
@@ -241,18 +256,9 @@ def strided_conv_apply(
     weight: jnp.ndarray,  # (K, C_in, C_out)
     bias: jnp.ndarray | None = None,
     compute_dtype=None,
+    use_pallas: bool = False,
 ) -> SparseTensor:
-    V_out = plan.gather.shape[0]
-    K, C, Co = weight.shape
-    dt = compute_dtype or st.feats.dtype
-    padded = jnp.concatenate([st.feats, jnp.zeros((1, C), st.feats.dtype)], axis=0)
-    gathered = padded[plan.gather]  # (V_out, K, C)
-    out = jax.lax.dot_general(
-        gathered.reshape(V_out, K * C).astype(dt),
-        weight.reshape(K * C, Co).astype(dt),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    out = _gathered_matmul(st.feats, plan.gather, weight, compute_dtype, use_pallas)
     if bias is not None:
         out = out + bias
     out = jnp.where(plan.valid[:, None], out, 0.0)

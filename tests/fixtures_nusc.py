@@ -7,6 +7,28 @@ import numpy as np
 from shasta_tpu.core.boxes import yaw_to_quaternion
 
 
+def _rotmat_to_quat(R):
+    """Rotation matrix -> quaternion [w, x, y, z] (for camera extrinsics)."""
+    w = np.sqrt(max(0.0, 1.0 + R[0, 0] + R[1, 1] + R[2, 2])) / 2.0
+    if w > 1e-6:
+        x = (R[2, 1] - R[1, 2]) / (4 * w)
+        y = (R[0, 2] - R[2, 0]) / (4 * w)
+        z = (R[1, 0] - R[0, 1]) / (4 * w)
+    else:  # pragma: no cover - not hit by the fixture camera
+        x, y, z = 1.0, 0.0, 0.0
+    return [float(w), float(x), float(y), float(z)]
+
+
+# forward-looking camera: x_cam = -y_ego (right), y_cam = -z_ego (down),
+# z_cam = +x_ego (forward); columns of R are the camera axes in ego coords
+CAM_ROT = _rotmat_to_quat(np.array([[0.0, 0.0, 1.0],
+                                    [-1.0, 0.0, 0.0],
+                                    [0.0, -1.0, 0.0]]))
+CAM_TRANS = [1.5, 0.0, 1.5]
+CAM_INTRINSIC = [[400.0, 0.0, 300.0], [0.0, 400.0, 200.0], [0.0, 0.0, 1.0]]
+CAM_WH = (600, 400)
+
+
 def build_micro_nusc(tmp_path):
     """One scene, 3 key frames, 2 moving cars + 1 FP detection."""
     root = tmp_path / "nuScenes"
@@ -20,13 +42,36 @@ def build_micro_nusc(tmp_path):
         "token": "scene0", "name": "scene-0001",
         "first_sample_token": sample_tokens[0],
         "last_sample_token": sample_tokens[-1],
+        "log_token": "log0",
+    }]
+    logs = [{"token": "log0", "location": "micro-town"}]
+    # small rasterized map mask (res 0.5 m/px, 100 m x 100 m)
+    maps_dir = root / "maps"
+    maps_dir.mkdir(parents=True, exist_ok=True)
+    mask = np.zeros((200, 200), np.uint8)
+    mask[80:120, :] = 255  # a horizontal "road" band
+    from PIL import Image as _Image
+
+    _Image.fromarray(mask).save(maps_dir / "micro_map.png")
+    maps = [{
+        "token": "map0", "log_tokens": ["log0"],
+        "filename": "maps/micro_map.png", "category": "semantic_prior",
+        "resolution": 0.5,
     }]
     samples, sample_data, ego_pose, anns = [], [], [], []
-    calibrated = [{
-        "token": "cs0",
-        "translation": [0.9, 0.0, 1.8],
-        "rotation": [1.0, 0, 0, 0],
-    }]
+    calibrated = [
+        {
+            "token": "cs0",
+            "translation": [0.9, 0.0, 1.8],
+            "rotation": [1.0, 0, 0, 0],
+        },
+        {
+            "token": "cs_cam",
+            "translation": list(CAM_TRANS),
+            "rotation": list(CAM_ROT),
+            "camera_intrinsic": CAM_INTRINSIC,
+        },
+    ]
     instances = [
         {"token": "inst_a", "category_token": "cat_car"},
         {"token": "inst_b", "category_token": "cat_car"},
@@ -51,9 +96,30 @@ def build_micro_nusc(tmp_path):
         pts.tofile(bin_path)
         sample_data.append({
             "token": f"sd{i}", "sample_token": tok, "is_key_frame": True,
+            "timestamp": t_us,
             "filename": f"sweeps/LIDAR_TOP_{i}.bin",
             "ego_pose_token": f"ego{i}", "calibrated_sensor_token": "cs0",
+            "prev": f"sd{i-1}" if i > 0 else "",
             "next": f"sd{i+1}" if i < n_frames - 1 else "",
+        })
+        # front camera key frame (for the scene renderer)
+        cam_dir = root / "samples"
+        cam_dir.mkdir(exist_ok=True)
+        cam_file = cam_dir / f"CAM_FRONT_{i}.png"
+        if not cam_file.exists():
+            from PIL import Image
+
+            Image.fromarray(
+                np.full((CAM_WH[1], CAM_WH[0], 3), 90, np.uint8)
+            ).save(cam_file)
+        sample_data.append({
+            "token": f"sdc{i}", "sample_token": tok, "is_key_frame": True,
+            "timestamp": t_us,
+            "filename": f"samples/CAM_FRONT_{i}.png",
+            "width": CAM_WH[0], "height": CAM_WH[1],
+            "ego_pose_token": f"ego{i}", "calibrated_sensor_token": "cs_cam",
+            "prev": f"sdc{i-1}" if i > 0 else "",
+            "next": f"sdc{i+1}" if i < n_frames - 1 else "",
         })
         ego_pose.append({
             "token": f"ego{i}",
@@ -103,6 +169,7 @@ def build_micro_nusc(tmp_path):
         ("ego_pose", ego_pose), ("calibrated_sensor", calibrated),
         ("sample_annotation", anns), ("instance", instances),
         ("category", categories), ("attribute", []),
+        ("log", logs), ("map", maps),
     ):
         with open(ver / f"{name}.json", "w") as f:
             json.dump(table, f)

@@ -39,6 +39,24 @@ def quat_inverse(q: np.ndarray) -> np.ndarray:
     return np.array([q[0], -q[1], -q[2], -q[3]]) / n
 
 
+def quat_slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
+    """Spherical interpolation between unit quaternions (shortest arc).
+
+    Used for 20 Hz GT interpolation at non-key frames (the devkit's
+    get_boxes behavior the reference relies on, gt_info.py 20hz branch)."""
+    q0 = np.asarray(q0, np.float64)
+    q1 = np.asarray(q1, np.float64)
+    dot = float(np.dot(q0, q1))
+    if dot < 0.0:
+        q1, dot = -q1, -dot
+    if dot > 0.9995:  # nearly parallel: lerp + renormalize
+        out = q0 + t * (q1 - q0)
+        return out / np.linalg.norm(out)
+    theta = np.arccos(np.clip(dot, -1.0, 1.0))
+    s = np.sin(theta)
+    return (np.sin((1 - t) * theta) * q0 + np.sin(t * theta) * q1) / s
+
+
 def transform_points(points: np.ndarray, rot_q: np.ndarray, trans: np.ndarray) -> np.ndarray:
     """Apply p' = R p + t to (N, 3) points."""
     return points @ quat_to_rotmat(rot_q).T + trans

@@ -43,24 +43,50 @@ def _ensure(path: str) -> str:
     return path
 
 
-# -- stage 1: token_info (token_info.py:42-79, 2hz mode) --------------------
+# -- stage 1: token_info (token_info.py:42-108, 2hz + 20hz modes) -----------
 
-def write_token_info(db: NuscDB, scene_names, out_dir: str):
+def _select_20hz(entries):
+    """10 Hz frame selection over the 20 Hz chain (token_info.py:18-39):
+    every key frame is selected and resets the counter; non-key frames are
+    selected when an even number of frames has passed since the key."""
+    counter = -1
+    out = []
+    for tok, is_key, sample_token in entries:
+        counter += 1
+        if is_key:
+            out.append([tok, is_key, sample_token, True])
+            counter = 0
+        else:
+            out.append([tok, is_key, sample_token, counter % 2 == 0])
+    return out
+
+
+def write_token_info(db: NuscDB, scene_names, out_dir: str, mode: str = "2hz"):
     folder = _ensure(os.path.join(out_dir, "token_info"))
     for scene in _scenes(db, scene_names):
-        tokens = [s["token"] for s in db.scene_samples(scene)]
+        if mode == "2hz":
+            tokens = [s["token"] for s in db.scene_samples(scene)]
+        else:  # 20hz: [sd_token, is_key_frame, sample_token, selected]
+            entries = [
+                (sd["token"], bool(sd.get("is_key_frame")), sd["sample_token"])
+                for sd in db.lidar_sd_chain(scene)
+            ]
+            tokens = _select_20hz(entries)
         with open(os.path.join(folder, scene["name"] + ".json"), "w") as f:
             json.dump(tokens, f)
 
 
-# -- stage 2: ego_info (ego_pose.py:17-57) ----------------------------------
+# -- stage 2: ego_info (ego_pose.py:17-57; 20hz = every sweep frame) --------
 
-def write_ego_info(db: NuscDB, scene_names, out_dir: str):
+def write_ego_info(db: NuscDB, scene_names, out_dir: str, mode: str = "2hz"):
     folder = _ensure(os.path.join(out_dir, "ego_info"))
     for scene in _scenes(db, scene_names):
         ego = {}
-        for i, sample in enumerate(db.scene_samples(scene)):
-            sd = db.sample_lidar_data(sample)
+        if mode == "2hz":
+            sds = [db.sample_lidar_data(s) for s in db.scene_samples(scene)]
+        else:
+            sds = db.lidar_sd_chain(scene)
+        for i, sd in enumerate(sds):
             pose = db.get("ego_pose", sd["ego_pose_token"])
             ego[str(i)] = list(pose["translation"]) + list(pose["rotation"])
         np.savez_compressed(os.path.join(folder, scene["name"] + ".npz"), **ego)
@@ -86,8 +112,30 @@ def box_velocity(db: NuscDB, ann_token: str, max_time_diff: float = 1.5) -> np.n
     return (pos_last - pos_first) / max(t_last - t_first, 1e-6)
 
 
-def write_gt_info(db: NuscDB, scene_names, out_dir: str):
+def write_gt_info(db: NuscDB, scene_names, out_dir: str, mode: str = "2hz"):
     folder = _ensure(os.path.join(out_dir, "gt_info"))
+    if mode == "20hz":
+        # gt_info.py 20hz branch: boxes at EVERY sweep frame via key-frame
+        # interpolation (devkit get_boxes); no per-frame jsons, no
+        # lidar-points filter (counts don't exist for interpolated boxes).
+        for scene in _scenes(db, scene_names):
+            IDS, types, bboxes = [], [], []
+            for sd in db.lidar_sd_chain(scene):
+                boxes = db.boxes_at_sample_data(sd)
+                IDS.append([b["instance_token"] for b in boxes])
+                types.append([b["category_name"] for b in boxes])
+                bboxes.append([
+                    list(b["translation"]) + list(b["size"]) + list(b["rotation"])
+                    for b in boxes
+                ])
+            np.savez_compressed(
+                os.path.join(folder, scene["name"] + ".npz"),
+                ids=np.asarray(IDS, dtype=object),
+                types=np.asarray(types, dtype=object),
+                bboxes=np.asarray(bboxes, dtype=object),
+                allow_pickle=True,
+            )
+        return
     indiv = _ensure(os.path.join(folder, "individual_frames"))
     for scene in _scenes(db, scene_names):
         IDS, types, bboxes = [], [], []
@@ -134,6 +182,12 @@ def write_detections(results_json: str, out_dir: str, det_name: str = "cp"):
         types = [[] for _ in tokens]
         velos = [[] for _ in tokens]
         for i, tok in enumerate(tokens):
+            # 20hz token rows are [sd_token, is_key, sample_token, selected];
+            # detections exist per keyframe sample token only
+            if isinstance(tok, list):
+                if not tok[1]:
+                    continue
+                tok = tok[2]
             for s in det_data.get(tok, []):
                 bboxes[i].append(
                     list(s["translation"]) + list(s["size"]) + list(s["rotation"])
@@ -274,21 +328,30 @@ def write_gt_shasta(
         det_boxes, det_types = dets["bboxes"], dets["types"]
         gt_boxes, gt_ids, gt_types = gts["bboxes"], gts["ids"], gts["types"]
 
-        for fi, tok in enumerate(tokens):
+        # 20hz token rows are [sd_token, is_key, sample_token, selected];
+        # affinity GT is keyframe-paired (detections exist only there), so
+        # keep the key rows and pair each with the previous KEY row.
+        frames = [
+            (fi, tok if isinstance(tok, str) else tok[2])
+            for fi, tok in enumerate(tokens)
+            if isinstance(tok, str) or tok[1]
+        ]
+        for ki, (fi, tok) in enumerate(frames):
             if restrict is not None and tok not in restrict:
                 continue
             curr_d = _mot_rows(det_boxes[fi])
             curr_t = list(det_types[fi])
             curr_g = _mot_rows(gt_boxes[fi])
-            if fi == 0:
+            if ki == 0:
                 prev = (None,) * 5
             else:
+                pfi = frames[ki - 1][0]
                 prev = (
-                    _mot_rows(det_boxes[fi - 1]),
-                    list(det_types[fi - 1]),
-                    _mot_rows(gt_boxes[fi - 1]),
-                    list(gt_types[fi - 1]),
-                    list(gt_ids[fi - 1]),
+                    _mot_rows(det_boxes[pfi]),
+                    list(det_types[pfi]),
+                    _mot_rows(gt_boxes[pfi]),
+                    list(gt_types[pfi]),
+                    list(gt_ids[pfi]),
                 )
             matched, newborn = frame_gt_matrices(
                 *prev, curr_d, curr_t, curr_g, list(gt_types[fi]), list(gt_ids[fi]),
@@ -312,13 +375,18 @@ def run_chain(
     scene_names=None,
     det_name: str = "cp",
     with_gt: bool = True,
+    mode: str = "2hz",
 ):
+    """mode='20hz' writes token/ego/gt artifacts over the full LIDAR sweep
+    chain (10 Hz selection flags, interpolated GT) into {split}_20hz; the
+    detection stages remain keyed by keyframe sample tokens, since
+    CenterPoint results only exist at key frames."""
     db = NuscDB(dataroot, version)
-    split_dir = os.path.join(out_dir, f"{split}_2hz")
-    write_token_info(db, scene_names, split_dir)
-    write_ego_info(db, scene_names, split_dir)
+    split_dir = os.path.join(out_dir, f"{split}_{mode}")
+    write_token_info(db, scene_names, split_dir, mode=mode)
+    write_ego_info(db, scene_names, split_dir, mode=mode)
     if with_gt:
-        write_gt_info(db, scene_names, split_dir)
+        write_gt_info(db, scene_names, split_dir, mode=mode)
     write_detections(results_json, split_dir, det_name)
     write_det_frames(results_json, split_dir, det_name)
     write_sensor_det_frames(db, results_json, split_dir, det_name)

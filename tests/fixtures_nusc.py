@@ -99,9 +99,24 @@ def build_micro_nusc(tmp_path):
             "timestamp": t_us,
             "filename": f"sweeps/LIDAR_TOP_{i}.bin",
             "ego_pose_token": f"ego{i}", "calibrated_sensor_token": "cs0",
-            "prev": f"sd{i-1}" if i > 0 else "",
-            "next": f"sd{i+1}" if i < n_frames - 1 else "",
+            "prev": f"sd{i-1}m1" if i > 0 else "",
+            "next": f"sd{i}m0" if i < n_frames - 1 else "",
         })
+        # two intermediate (non-key) sweeps toward the next key frame, so
+        # the 20 Hz chain + GT interpolation are exercised
+        if i < n_frames - 1:
+            for m in range(2):
+                sample_data.append({
+                    "token": f"sd{i}m{m}",
+                    "sample_token": sample_tokens[i + 1],
+                    "is_key_frame": False,
+                    "timestamp": t_us + (m + 1) * 500_000 // 3,
+                    "filename": f"sweeps/LIDAR_TOP_{i}.bin",
+                    "ego_pose_token": f"ego{i}",
+                    "calibrated_sensor_token": "cs0",
+                    "prev": f"sd{i}" if m == 0 else f"sd{i}m0",
+                    "next": f"sd{i}m1" if m == 0 else f"sd{i+1}",
+                })
         # front camera key frame (for the scene renderer)
         cam_dir = root / "samples"
         cam_dir.mkdir(exist_ok=True)

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--scenes_file", default=None)
     ap.add_argument("--det_name", default="cp")
     ap.add_argument("--no_gt", action="store_true", help="test split: skip GT stages")
+    ap.add_argument("--mode", default="2hz", choices=["2hz", "20hz"],
+                    help="20hz: full sweep chain w/ 10 Hz selection + interpolated GT")
     args = ap.parse_args()
 
     scene_names = args.scenes
@@ -45,8 +47,9 @@ def main():
         scene_names=scene_names,
         det_name=args.det_name,
         with_gt=not args.no_gt,
+        mode=args.mode,
     )
-    print(f"preprocessing chain complete -> {args.out}/{args.split}_2hz")
+    print(f"preprocessing chain complete -> {args.out}/{args.split}_{args.mode}")
 
 
 if __name__ == "__main__":

@@ -5,8 +5,9 @@ preprocessing/waymo_data/*.py (per-scene npz extraction: dets, ego, gt,
 point clouds, timestamps). The reference's tracking pipeline is only
 partially wired for Waymo (SURVEY §2.2); here the classical-MOT and
 gt-association paths are fully supported on the extracted npz tree, and
-the raw TFRecord extraction is gated behind the optional
-waymo-open-dataset dependency (not available in this image).
+the raw extraction is implemented: TFRecord framing is read with zero
+dependencies (data/tfrecord.py) and only the Frame/Objects proto schemas
+need the optional waymo-open-dataset package (tools/extract_waymo.py).
 
 Artifact contract per scene (matching the reference's extraction):
   detections/{name}/dets/{segment}.npz      bboxes/types[/velos] per frame
@@ -80,22 +81,141 @@ def waymo_scene_to_mot_frames(scene: WaymoScene):
         )
 
 
-def extract_waymo_segment(tfrecord_path: str, out_dir: str):  # pragma: no cover
-    """TFRecord -> npz extraction (preprocessing/waymo_data equivalents).
+# Waymo label-type ints (dataset.proto Label.Type) -> tracking names
+WAYMO_TYPE_NAMES = {1: "vehicle", 2: "pedestrian", 3: "sign", 4: "cyclist"}
 
-    Requires waymo-open-dataset + tensorflow, which are not in this image;
-    the artifact formats above are produced by either this function (when
-    the deps exist) or any external extractor following the contract.
+
+def _segment_name(path: str) -> str:
+    return os.path.basename(path).split(".")[0]
+
+
+def extract_waymo_segment(tfrecord_path: str, out_dir: str,
+                          with_gt: bool = True) -> str:
+    """TFRecord -> per-segment npz/json artifacts.
+
+    Equivalent of preprocessing/waymo_data/testset/{time_stamp,ego_info}.py
+    plus in-record GT labels (the gt.bin path is decode_objects_bin):
+      ts_info/{segment}.json    frame.timestamp_micros list
+      ego_info/{segment}.npz    {str(i): 4x4 frame.pose.transform}
+      gt_info/{segment}.npz     bboxes (mot rows [x,y,z,o,l,w,h,s]) /
+                                types (Label.Type ints) / ids, per frame
+
+    Record framing is read dependency-free (shasta_tpu.data.tfrecord); only
+    the Frame proto schema needs the optional waymo-open-dataset package.
+    Returns the segment name.
     """
     try:
-        import tensorflow  # noqa: F401
-        from waymo_open_dataset import dataset_pb2  # noqa: F401
+        from waymo_open_dataset import dataset_pb2
     except ImportError as e:
         raise ImportError(
-            "waymo-open-dataset/tensorflow are required for raw TFRecord "
-            "extraction; provide pre-extracted npz artifacts instead "
-            "(see module docstring for the contract)"
+            "waymo-open-dataset is required to parse Frame protos; provide "
+            "pre-extracted npz artifacts instead (see module docstring)"
         ) from e
-    raise NotImplementedError(
-        "raw Waymo extraction pending a waymo-open-dataset-enabled image"
-    )
+    from .tfrecord import read_tfrecord
+
+    segment = _segment_name(tfrecord_path)
+    timestamps: list[int] = []
+    ego: dict[str, np.ndarray] = {}
+    gt_boxes, gt_types, gt_ids = [], [], []
+    for i, payload in enumerate(read_tfrecord(tfrecord_path)):
+        frame = dataset_pb2.Frame()
+        frame.ParseFromString(payload)
+        timestamps.append(int(frame.timestamp_micros))
+        ego[str(i)] = np.asarray(list(frame.pose.transform), np.float64).reshape(4, 4)
+        fb, ft, fi = [], [], []
+        if with_gt:
+            for label in frame.laser_labels:
+                b = label.box
+                # mot layout [x, y, z, heading, l, w, h, score]
+                fb.append([
+                    b.center_x, b.center_y, b.center_z, b.heading,
+                    b.length, b.width, b.height, 1.0,
+                ])
+                ft.append(int(label.type))
+                fi.append(str(label.id))
+        gt_boxes.append(fb)
+        gt_types.append(ft)
+        gt_ids.append(fi)
+
+    os.makedirs(os.path.join(out_dir, "ts_info"), exist_ok=True)
+    with open(os.path.join(out_dir, "ts_info", segment + ".json"), "w") as f:
+        json.dump(timestamps, f)
+    os.makedirs(os.path.join(out_dir, "ego_info"), exist_ok=True)
+    np.savez_compressed(os.path.join(out_dir, "ego_info", segment + ".npz"), **ego)
+    if with_gt:
+        os.makedirs(os.path.join(out_dir, "gt_info"), exist_ok=True)
+        np.savez_compressed(
+            os.path.join(out_dir, "gt_info", segment + ".npz"),
+            bboxes=np.asarray(gt_boxes, dtype=object),
+            types=np.asarray(gt_types, dtype=object),
+            ids=np.asarray(gt_ids, dtype=object),
+        )
+    return segment
+
+
+def decode_objects_bin(bin_path: str, data_dir: str, out_subdir: str,
+                       with_velocity: bool = False) -> list[str]:
+    """metrics_pb2.Objects .bin -> per-segment npz, aligned to ts_info.
+
+    Covers both the GT decode (gt_bin_decode.py:30-120 -> gt_info layout)
+    and the detection decode (waymo_data/detection.py:55-189 -> dets layout
+    incl. velos from object.metadata when with_velocity). Segments and
+    frame indices come from the previously extracted ts_info jsons.
+    """
+    try:
+        from waymo_open_dataset.protos import metrics_pb2
+    except ImportError as e:
+        raise ImportError("waymo-open-dataset is required to parse Objects bins") from e
+
+    ts_dir = os.path.join(data_dir, "ts_info")
+    ts_info = {}
+    for fn in sorted(os.listdir(ts_dir)):
+        with open(os.path.join(ts_dir, fn)) as f:
+            ts_info[fn.split(".")[0]] = json.load(f)
+
+    objects = metrics_pb2.Objects()
+    with open(bin_path, "rb") as f:
+        objects.ParseFromString(f.read())
+
+    acc = {
+        seg: {"bboxes": {}, "types": {}, "ids": {}, "velos": {}}
+        for seg in ts_info
+    }
+    for inst in objects.objects:
+        seg = next((s for s in ts_info if inst.context_name in s), None)
+        if seg is None:
+            continue
+        try:
+            fi = ts_info[seg].index(inst.frame_timestamp_micros)
+        except ValueError:
+            continue
+        a = acc[seg]
+        key = str(fi)
+        b = inst.object.box
+        a["bboxes"].setdefault(key, []).append([
+            b.center_x, b.center_y, b.center_z, b.heading,
+            b.length, b.width, b.height, float(inst.score),
+        ])
+        a["types"].setdefault(key, []).append(int(inst.object.type))
+        a["ids"].setdefault(key, []).append(str(inst.object.id))
+        if with_velocity:
+            md = inst.object.metadata
+            a["velos"].setdefault(key, []).append([md.speed_x, md.speed_y])
+
+    out_dir = os.path.join(data_dir, out_subdir)
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for seg, a in acc.items():
+        n = len(ts_info[seg])
+        result = {
+            "bboxes": np.asarray([a["bboxes"].get(str(i), []) for i in range(n)], dtype=object),
+            "types": np.asarray([a["types"].get(str(i), []) for i in range(n)], dtype=object),
+            "ids": np.asarray([a["ids"].get(str(i), []) for i in range(n)], dtype=object),
+        }
+        if with_velocity:
+            result["velos"] = np.asarray(
+                [a["velos"].get(str(i), []) for i in range(n)], dtype=object
+            )
+        np.savez_compressed(os.path.join(out_dir, seg + ".npz"), **result)
+        written.append(seg)
+    return written

@@ -52,12 +52,8 @@ def run_affinity_eval(
     for i in it:
         sample = dataset[i]
         batch = collate([sample])
-        token = sample["token"]
-        dead_tracker.setdefault(token, {"dead_idx": [], "keep_idx": []})
-
-        cls_det_boxes = sample["cls_det_boxes"]
-        prev_cls = sample["prev_cls_det_boxes"]
-        n_prev, n_curr = len(prev_cls), len(cls_det_boxes)
+        n_prev = len(sample["prev_cls_det_boxes"])
+        n_curr = len(sample["cls_det_boxes"])
 
         m1, m2 = forward(batch)
         dec = apply_decision_rules(
@@ -65,57 +61,68 @@ def run_affinity_eval(
             jnp.int32(n_prev), jnp.int32(n_curr),
             fp_thresh=fp_thresh, decision_thresh=decision_thresh,
         )
-        dead = np.asarray(dec.dead)
-        fn = np.asarray(dec.fn)
-        fn_ref = np.asarray(dec.fn_ref_score)
-        keep = np.asarray(dec.keep)
-        newborn = np.asarray(dec.newborn)
-        ref_score = np.asarray(dec.ref_score)
+        dec_np = {
+            "dead": np.asarray(dec.dead), "fn": np.asarray(dec.fn),
+            "fn_ref": np.asarray(dec.fn_ref_score), "keep": np.asarray(dec.keep),
+            "newborn": np.asarray(dec.newborn), "ref": np.asarray(dec.ref_score),
+        }
+        _assemble_frame_annos(sample, dec_np, nusc_annos, dead_tracker)
 
-        annos: list[dict] = []
-        fn_annos: list[dict] = []
+    return _finalize_annos(nusc_annos, dead_tracker)
 
-        if n_prev > 0:
-            prev_token = sample["prev_token"]
-            dead_tracker.setdefault(prev_token, {"dead_idx": [], "keep_idx": []})
-            time_lag = float(sample["prev_det_boxes"][0, 9])
-            for n in range(n_prev):
-                if dead[n]:
-                    dead_tracker[prev_token]["dead_idx"].append(n)
-                elif fn[n]:
-                    a = dict(prev_cls[n])
-                    a["translation"] = list(a["translation"])
-                    a["translation"][:2] = [
-                        t + time_lag * v
-                        for t, v in zip(a["translation"][:2], a["velocity"])
-                    ]
-                    a["FN"] = True
-                    a["token"] = token
-                    a["ref_detection_score"] = float(fn_ref[n])
-                    fn_annos.append(a)
 
-        keep_idx = []
-        for k in range(n_curr):
-            if not keep[k]:
-                continue
-            a = dict(cls_det_boxes[k])
-            if newborn[k]:
-                a["newborn"] = True
-            a["ref_detection_score"] = float(ref_score[k])
-            keep_idx.append(k)
-            annos.append(a)
-        dead_tracker[token]["keep_idx"] = keep_idx
+def _assemble_frame_annos(sample, dec_np, nusc_annos, dead_tracker):
+    """Shared anno assembly for one (prev, curr) pair (eval.py:103-193):
+    FN propagation, FP-survivor list, newborn flags, dead bookkeeping."""
+    token = sample["token"]
+    dead_tracker.setdefault(token, {"dead_idx": [], "keep_idx": []})
+    cls_det_boxes = sample["cls_det_boxes"]
+    prev_cls = sample["prev_cls_det_boxes"]
+    n_prev, n_curr = len(prev_cls), len(cls_det_boxes)
 
-        annos.extend(fn_annos)
-        nusc_annos["results"][token] = annos
+    annos: list[dict] = []
+    fn_annos: list[dict] = []
+    if n_prev > 0:
+        prev_token = sample["prev_token"]
+        dead_tracker.setdefault(prev_token, {"dead_idx": [], "keep_idx": []})
+        time_lag = float(sample["prev_det_boxes"][0, 9])
+        for n in range(n_prev):
+            if dec_np["dead"][n]:
+                dead_tracker[prev_token]["dead_idx"].append(n)
+            elif dec_np["fn"][n]:
+                a = dict(prev_cls[n])
+                a["translation"] = list(a["translation"])
+                a["translation"][:2] = [
+                    t + time_lag * v
+                    for t, v in zip(a["translation"][:2], a["velocity"])
+                ]
+                a["FN"] = True
+                a["token"] = token
+                a["ref_detection_score"] = float(dec_np["fn_ref"][n])
+                fn_annos.append(a)
 
-    # retroactive dead marking (eval.py:175-181)
+    keep_idx = []
+    for k in range(n_curr):
+        if not dec_np["keep"][k]:
+            continue
+        a = dict(cls_det_boxes[k])
+        if dec_np["newborn"][k]:
+            a["newborn"] = True
+        a["ref_detection_score"] = float(dec_np["ref"][k])
+        keep_idx.append(k)
+        annos.append(a)
+    dead_tracker[token]["keep_idx"] = keep_idx
+    annos.extend(fn_annos)
+    nusc_annos["results"][token] = annos
+
+
+def _finalize_annos(nusc_annos, dead_tracker):
+    """Retroactive dead marking (eval.py:175-181) + meta."""
     for token, annos in nusc_annos["results"].items():
         keep_idx = dead_tracker[token]["keep_idx"]
         for i in dead_tracker[token]["dead_idx"]:
             if i in keep_idx:
                 annos[keep_idx.index(i)]["dead"] = True
-
     nusc_annos["meta"] = {
         "use_camera": False,
         "use_lidar": True,
@@ -124,6 +131,137 @@ def run_affinity_eval(
         "use_external": False,
     }
     return nusc_annos
+
+
+def run_affinity_eval_batched(
+    model,
+    variables,
+    dataset,
+    batch: int = 8,
+    fp_thresh: float = 0.7,
+    decision_thresh: float = 0.5,
+    progress: bool = False,
+) -> dict:
+    """Scene-batched affinity eval: B scene lanes advance one frame per
+    jitted step, the trunk runs ONCE per frame (prev descriptors carried),
+    and only the decision bits come back to the host.
+
+    The reference (and run_affinity_eval) recompute BOTH frames' backbones
+    per pair at batch 1 (eval.py:96-113); this produces identical annos
+    (decision rules mask prev rows at scene starts, and carried descriptors
+    equal recomputed ones under fixed weights) at a fraction of the
+    compute. This is the default path for tools/eval.py and
+    tools/validate.py; pass --parity there for the reference-shaped loop.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.nuscenes import collate
+    from ..models.shasta import ShastaModel
+
+    cfg = model.cfg
+    B = batch
+    F = cfg.num_point * cfg.share_conv_channel
+
+    def step(variables, frame, reset, n_prev, n_curr, prev_boxes, prev_feat):
+        rz = reset[:, None, None]
+        prev_feat = jnp.where(rz, 0.0, prev_feat)
+        prev_boxes = jnp.where(rz, 0.0, prev_boxes)
+        n_prev = jnp.where(reset, 0, n_prev)
+        curr_feat = model.apply(
+            variables, frame, train=False, method=ShastaModel.frame_features
+        )
+        m1, m2 = model.apply(
+            variables, prev_boxes, frame["det_boxes"], prev_feat, curr_feat,
+            method=ShastaModel.affinity_step,
+        )
+        dec = jax.vmap(
+            lambda a, b, np_, nc: apply_decision_rules(
+                a, b, np_, nc, fp_thresh=fp_thresh,
+                decision_thresh=decision_thresh,
+            )
+        )(m1, m2, n_prev, n_curr)
+        return curr_feat, dec
+
+    jit_step = jax.jit(step)
+
+    # group the frame-ordered dataset into scenes (prev_token == '' starts)
+    samples = [dataset[i] for i in range(len(dataset))]
+    scenes: list[list] = []
+    for s in samples:
+        if not s["prev_token"] or not scenes:
+            scenes.append([])
+        scenes[-1].append(s)
+    queue = list(range(len(scenes)))
+    lane_scene = [queue.pop(0) if queue else -1 for _ in range(B)]
+    lane_pos = [0] * B
+
+    nusc_annos: dict[str, Any] = {"results": {}, "meta": None}
+    dead_tracker: dict[str, dict] = {}
+    prev_feat = jnp.zeros((B, cfg.max_obj, F))
+    prev_boxes = jnp.zeros((B, cfg.max_obj, 11))
+    n_prev = np.zeros((B,), np.int32)
+
+    total = len(samples)
+    done = 0
+    bar = None
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            bar = tqdm(total=total)
+        except ImportError:
+            pass
+
+    keys = ("voxels", "num_points", "coordinates", "voxels_valid", "det_boxes")
+    while any(si >= 0 for si in lane_scene):
+        lane_samples, resets, n_currs = [], [], []
+        for li in range(B):
+            si = lane_scene[li]
+            if si < 0:  # idle lane: feed a dummy (first active lane's frame)
+                lane_samples.append(None)
+                resets.append(True)
+                n_currs.append(0)
+                continue
+            s = scenes[si][lane_pos[li]]
+            lane_samples.append(s)
+            resets.append(lane_pos[li] == 0)
+            n_currs.append(len(s["cls_det_boxes"]))
+        template = next(s for s in lane_samples if s is not None)
+        batch_np = collate([s if s is not None else template for s in lane_samples])
+        frame = {k: jnp.asarray(batch_np[k]) for k in keys}
+
+        curr_feat, dec = jit_step(
+            variables, frame, jnp.asarray(resets), jnp.asarray(n_prev),
+            jnp.asarray(n_currs, jnp.int32), prev_boxes, prev_feat,
+        )
+        dec_np = {
+            "dead": np.asarray(dec.dead), "fn": np.asarray(dec.fn),
+            "fn_ref": np.asarray(dec.fn_ref_score), "keep": np.asarray(dec.keep),
+            "newborn": np.asarray(dec.newborn), "ref": np.asarray(dec.ref_score),
+        }
+        prev_feat = curr_feat
+        prev_boxes = frame["det_boxes"]
+        n_prev = np.asarray(n_currs, np.int32)
+
+        for li in range(B):
+            s = lane_samples[li]
+            if s is None:
+                continue
+            _assemble_frame_annos(
+                s, {k: v[li] for k, v in dec_np.items()}, nusc_annos, dead_tracker
+            )
+            done += 1
+            if bar:
+                bar.update(1)
+            lane_pos[li] += 1
+            if lane_pos[li] >= len(scenes[lane_scene[li]]):
+                lane_scene[li] = queue.pop(0) if queue else -1
+                lane_pos[li] = 0
+    if bar:
+        bar.close()
+    assert done == total
+    return _finalize_annos(nusc_annos, dead_tracker)
 
 
 def save_first_frame(frame_info_path: str, save_path: str) -> list[dict]:

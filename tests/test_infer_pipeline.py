@@ -51,6 +51,41 @@ def setup(tmp_path_factory):
     return dict(ds=ds, model=model, variables=variables)
 
 
+def test_batched_affinity_eval_matches_host(setup):
+    """run_affinity_eval_batched (scene lanes, carried descriptors) produces
+    the same cp_{split} annos as the reference-shaped per-pair loop."""
+    import jax.numpy as jnp
+
+    from shasta_tpu.tracker.runner import run_affinity_eval, run_affinity_eval_batched
+
+    model, variables, ds = setup["model"], setup["variables"], setup["ds"]
+
+    @jax.jit
+    def fwd(variables, batch):
+        return model.apply(variables, batch, train=False)
+
+    def forward(batch_np):
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                 if not isinstance(v, list)}
+        return fwd(variables, batch)
+
+    host = run_affinity_eval(forward, ds)
+    fast = run_affinity_eval_batched(model, variables, ds, batch=2)
+
+    assert set(fast["results"]) == set(host["results"])
+    for tok in host["results"]:
+        ha, fa = host["results"][tok], fast["results"][tok]
+        assert len(ha) == len(fa), tok
+        for h, f in zip(ha, fa):
+            assert h.get("newborn") == f.get("newborn")
+            assert h.get("dead") == f.get("dead")
+            assert h.get("FN") == f.get("FN")
+            np.testing.assert_allclose(
+                h["ref_detection_score"], f["ref_detection_score"], atol=2e-5
+            )
+            np.testing.assert_allclose(h["translation"], f["translation"], atol=1e-6)
+
+
 def test_scene_pipeline_tracks(setup):
     pipe = ScenePipeline(
         model=setup["model"],

@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--beta", type=float, default=None)
     p.add_argument("--track", action="store_true", help="also run tracking + official eval")
     p.add_argument("--root", default="data/nuScenes")
+    p.add_argument("--parity", action="store_true",
+                   help="reference-shaped per-pair B=1 loop (default: scene-batched)")
+    p.add_argument("--batch", type=int, default=8, help="scene lanes (fast path)")
     return p.parse_args()
 
 
@@ -47,6 +50,7 @@ def main():
     from shasta_tpu.tracker.runner import (
         eval_tracking_nuscenes,
         run_affinity_eval,
+        run_affinity_eval_batched,
         save_first_frame,
         track,
     )
@@ -77,24 +81,34 @@ def main():
     variables = merge_pretrained(variables, load_checkpoint(args.checkpoint))
     print(f"loaded {args.checkpoint}")
 
-    @jax.jit
-    def fwd(variables, batch):
-        return model.apply(variables, batch, train=False)
+    if args.parity:
+        # reference-shaped loop: recompute both frames per pair at B=1
+        @jax.jit
+        def fwd(variables, batch):
+            return model.apply(variables, batch, train=False)
 
-    def forward(batch_np):
-        batch = {
-            k: jnp.asarray(v)
-            for k, v in batch_np.items()
-            if not isinstance(v, list)
-        }
-        return fwd(variables, batch)
+        def forward(batch_np):
+            batch = {
+                k: jnp.asarray(v)
+                for k, v in batch_np.items()
+                if not isinstance(v, list)
+            }
+            return fwd(variables, batch)
 
-    annos = run_affinity_eval(
-        forward, ds,
-        fp_thresh=cfg.get("fp_elim", 0.7),
-        decision_thresh=cfg.get("decision_thresh", 0.5),
-        progress=True,
-    )
+        annos = run_affinity_eval(
+            forward, ds,
+            fp_thresh=cfg.get("fp_elim", 0.7),
+            decision_thresh=cfg.get("decision_thresh", 0.5),
+            progress=True,
+        )
+    else:
+        # default: scene-batched lanes, trunk once per frame
+        annos = run_affinity_eval_batched(
+            model, variables, ds, batch=args.batch,
+            fp_thresh=cfg.get("fp_elim", 0.7),
+            decision_thresh=cfg.get("decision_thresh", 0.5),
+            progress=True,
+        )
     out_path = os.path.join(args.work_dir, f"cp_{args.split}.json")
     with open(out_path, "w") as f:
         json.dump(annos, f)

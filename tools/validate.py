@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def validate(config_path: str, checkpoint: str, work_dir: str,
              cpu: bool = False, run_official_eval: bool = True,
-             root: str = "data/nuScenes", gt_info_dir: str | None = None) -> dict:
+             root: str = "data/nuScenes", gt_info_dir: str | None = None,
+             parity: bool = False, batch: int = 8) -> dict:
     """Returns {'fps': float, 'metrics': ..., 'metrics_refined': ...}."""
     import jax
     import jax.numpy as jnp
@@ -34,6 +35,7 @@ def validate(config_path: str, checkpoint: str, work_dir: str,
     from shasta_tpu.tracker.runner import (
         eval_tracking_nuscenes,
         run_affinity_eval,
+        run_affinity_eval_batched,
         save_first_frame,
         track,
     )
@@ -60,20 +62,28 @@ def validate(config_path: str, checkpoint: str, work_dir: str,
     variables = model.init(jax.random.PRNGKey(0), one, train=False)
     variables = merge_pretrained(variables, load_checkpoint(checkpoint))
 
-    @jax.jit
-    def fwd(variables, batch):
-        return model.apply(variables, batch, train=False)
+    if parity:
+        @jax.jit
+        def fwd(variables, b):
+            return model.apply(variables, b, train=False)
 
-    def forward(batch_np):
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, list)}
-        return fwd(variables, batch)
+        def forward(batch_np):
+            b = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, list)}
+            return fwd(variables, b)
 
-    annos = run_affinity_eval(
-        forward, ds,
-        fp_thresh=cfg.get("fp_elim", 0.7),
-        decision_thresh=cfg.get("decision_thresh", 0.5),
-        progress=True,
-    )
+        annos = run_affinity_eval(
+            forward, ds,
+            fp_thresh=cfg.get("fp_elim", 0.7),
+            decision_thresh=cfg.get("decision_thresh", 0.5),
+            progress=True,
+        )
+    else:
+        annos = run_affinity_eval_batched(
+            model, variables, ds, batch=batch,
+            fp_thresh=cfg.get("fp_elim", 0.7),
+            decision_thresh=cfg.get("decision_thresh", 0.5),
+            progress=True,
+        )
     with open(os.path.join(work_dir, "cp_val.json"), "w") as f:
         json.dump(annos, f)
 
@@ -117,6 +127,9 @@ def main():
     ap.add_argument("--root", default="data/nuScenes")
     ap.add_argument("--gt_info_dir", default=None,
                     help="gt_info/individual_frames dir for devkit-free AMOTA")
+    ap.add_argument("--parity", action="store_true",
+                    help="reference-shaped per-pair B=1 loop (default: scene-batched)")
+    ap.add_argument("--batch", type=int, default=8, help="scene lanes (fast path)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -125,7 +138,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     validate(args.config, args.checkpoint, args.work_dir,
              run_official_eval=not args.skip_eval, root=args.root,
-             gt_info_dir=args.gt_info_dir)
+             gt_info_dir=args.gt_info_dir, parity=args.parity, batch=args.batch)
 
 
 if __name__ == "__main__":

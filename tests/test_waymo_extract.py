@@ -62,9 +62,48 @@ class _FakeFrame:
         self.__dict__.update(o.__dict__)
 
 
+class _FakeBox:
+    def __init__(self):
+        self.center_x = self.center_y = self.center_z = 0.0
+        self.heading = self.length = self.width = self.height = 0.0
+
+
+class _FakeObject:
+    def __init__(self):
+        self.context_name = ""
+        self.frame_timestamp_micros = 0
+        self.score = 0.0
+        self.object = types.SimpleNamespace(box=_FakeBox(), type=0, id="")
+
+
+class _RepeatedObjects(list):
+    def add(self):
+        o = _FakeObject()
+        self.append(o)
+        return o
+
+
 class _FakeObjects:
+    def __init__(self):
+        self.objects = _RepeatedObjects()
+
     def ParseFromString(self, data):
         self.objects = _obj(json.loads(data.decode()))
+
+    def SerializeToString(self):
+        return json.dumps([
+            {
+                "context_name": o.context_name,
+                "frame_timestamp_micros": o.frame_timestamp_micros,
+                "score": o.score,
+                "object": {
+                    "box": vars(o.object.box),
+                    "type": o.object.type,
+                    "id": o.object.id,
+                },
+            }
+            for o in self.objects
+        ]).encode()
 
 
 @pytest.fixture
@@ -192,3 +231,71 @@ def test_decode_objects_bin_dets_and_gt(fake_waymo, tmp_path):
     scene = load_waymo_scene(out, seg)
     frames = list(waymo_scene_to_mot_frames(scene))
     assert len(frames) == 2 and frames[0].dets.shape[1] == 8
+
+
+def test_write_objects_bin_roundtrip(fake_waymo, tmp_path):
+    """Official-eval bin writer (waymo_common.py:52-116 contract): what we
+    write, decode_objects_bin reads back identically."""
+    from shasta_tpu.data.waymo import decode_objects_bin, write_objects_bin
+    from shasta_tpu.data.tfrecord import write_tfrecord
+    from shasta_tpu.data.waymo import extract_waymo_segment
+
+    # an extracted tree provides the ts_info the decoder aligns against
+    seg_path = str(tmp_path / "segment-9.tfrecord")
+    ego = list(np.eye(4).reshape(-1))
+    write_tfrecord(seg_path, [_frame_payload(5000, ego, []),
+                              _frame_payload(5500, ego, [])])
+    out = str(tmp_path / "mot")
+    seg = extract_waymo_segment(seg_path, out, with_gt=False)
+
+    segments = {
+        seg: {
+            "timestamps": [5000, 5500],
+            "frames": [
+                [{"bbox": [1, 2, 0.4, 0.2, 4, 2, 1.5, 0.9], "type": 1, "id": "t7"}],
+                [{"bbox": [1.5, 2, 0.4, 0.2, 4, 2, 1.5, 0.8], "type": 1, "id": "t7"}],
+            ],
+        }
+    }
+    bin_path = str(tmp_path / "tracking_pred.bin")
+    n = write_objects_bin(segments, bin_path)
+    assert n == 2
+
+    decode_objects_bin(bin_path, out, "pred_back")
+    d = np.load(os.path.join(out, "pred_back", seg + ".npz"), allow_pickle=True)
+    np.testing.assert_allclose(
+        np.asarray(d["bboxes"][0], float)[0], [1, 2, 0.4, 0.2, 4, 2, 1.5, 0.9]
+    )
+    assert list(d["ids"][0]) == ["t7"] and list(d["ids"][1]) == ["t7"]
+
+
+def test_eval_waymo_tracking_local(fake_waymo, tmp_path):
+    """Devkit-free CLEAR-MOT over the extracted tree: perfect hypotheses
+    score MOTA 1.0; a broken-identity run shows id switches."""
+    from shasta_tpu.data.waymo import eval_waymo_tracking, extract_waymo_segment
+
+    seg_path = str(tmp_path / "segment-5.tfrecord")
+    ego = list(np.eye(4).reshape(-1))
+    write_tfrecord(seg_path, [
+        _frame_payload(1000, ego, [_label(10, 0, "a")]),
+        _frame_payload(1500, ego, [_label(10.4, 0, "a")]),
+        _frame_payload(2000, ego, [_label(10.8, 0, "a")]),
+    ])
+    out = str(tmp_path / "mot")
+    seg = extract_waymo_segment(seg_path, out)
+
+    perfect = {seg: [
+        [{"id": "h1", "bbox": [10, 0, 0.5, 0.1, 4.5, 2, 1.6, 0.9], "type": 1}],
+        [{"id": "h1", "bbox": [10.4, 0, 0.5, 0.1, 4.5, 2, 1.6, 0.9], "type": 1}],
+        [{"id": "h1", "bbox": [10.8, 0, 0.5, 0.1, 4.5, 2, 1.6, 0.9], "type": 1}],
+    ]}
+    m = eval_waymo_tracking(out, perfect, types=(1,))
+    assert m["vehicle"]["mota"] == 1.0
+
+    switching = {seg: [
+        [{"id": "h1", "bbox": [10, 0, 0.5, 0.1, 4.5, 2, 1.6, 0.9], "type": 1}],
+        [{"id": "h2", "bbox": [10.4, 0, 0.5, 0.1, 4.5, 2, 1.6, 0.9], "type": 1}],
+        [{"id": "h3", "bbox": [10.8, 0, 0.5, 0.1, 4.5, 2, 1.6, 0.9], "type": 1}],
+    ]}
+    m2 = eval_waymo_tracking(out, switching, types=(1,))
+    assert m2["vehicle"]["mota"] < 1.0 and m2["vehicle"]["idsw"] == 2

@@ -1,10 +1,19 @@
 """Benchmark: tracked frames/sec/chip on the full serving path.
 
 Measures the per-frame on-device scene-inference step at nuScenes-car scale
-on one TPU chip: sparse trunk over a full point-cloud frame (120k voxel
-budget) -> BEV descriptor sampling -> affinity vs carried prev descriptors
-(max_obj=90) -> vectorized decision rules -> on-device scan-tracker step.
-60 real detections of 90 padded per frame.
+on one TPU chip: sparse trunk over full point-cloud frames (120k voxel
+budget each) -> BEV descriptor sampling -> affinity vs carried prev
+descriptors (max_obj=90) -> vectorized decision rules + FN injection ->
+on-device scan-tracker step. 60 real detections of 90 padded per frame.
+
+Default shape is the DESIGNED throughput path: BatchedScenePipeline with 4
+scene lanes advancing together in one XLA program (aggregate frames/s).
+If the batched program fails to build/run (e.g. memory), it falls back to
+the B=1 latency shape and reports that. Flags:
+  --lanes N   scene lanes (default 4 on TPU, 1 on CPU fallback)
+  --b1        force the single-lane latency shape
+  --pallas    route sparse-conv gathers through the VMEM Pallas kernel
+  --bf16      trunk matmuls in bf16 (f32 accumulation)
 
 This is strictly MORE work per frame than the reference's eval step — which
 recomputes BOTH frames' backbones, downloads the affinity matrices, and
@@ -25,6 +34,8 @@ import sys
 import time
 
 REFERENCE_FPS_ESTIMATE = 20.0
+V_PER_FRAME = 120000
+N_DETS = 60
 
 
 def _probe_devices(q):
@@ -51,51 +62,35 @@ def ensure_backend_alive(timeout_s: float = 240.0) -> bool:
     return not str(q.get()).startswith("error")
 
 
-def main():
-    fallback = False
-    if not ensure_backend_alive():
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        fallback = True
-    import jax
+def _make_cfg(lanes: int):
     import jax.numpy as jnp
 
-    if fallback:
-        jax.config.update("jax_platforms", "cpu")
-        print("WARNING: TPU backend unreachable; benchmarking on CPU", file=sys.stderr)
+    from shasta_tpu.models import ShastaConfig
 
-    from shasta_tpu.data.synthetic import make_batch
-    from shasta_tpu.infer import ScenePipeline, default_tracker_params
-    from shasta_tpu.models import ShastaModel, ShastaConfig
-
-    cfg = ShastaConfig(
+    # sparse caps are per compiled program; scale with the packed lane count
+    return ShastaConfig(
         max_obj=90,
-        cap_conv2=50000,
-        cap_conv3=25000,
-        cap_conv4=12000,
-        cap_extra=12000,
-        # --pallas: A/B the VMEM-resident sparse-gather kernel vs XLA gather
+        cap_conv2=50000 * lanes,
+        cap_conv3=25000 * lanes,
+        cap_conv4=12000 * lanes,
+        cap_extra=12000 * lanes,
         use_pallas_gather="--pallas" in sys.argv,
-        # --bf16: trunk matmuls in bf16 (f32 accumulation)
         dtype=jnp.bfloat16 if "--bf16" in sys.argv else None,
     )
-    model = ShastaModel(cfg)
-    V = 120000
-    N_DETS = 60
-    batch = make_batch(cfg, batch_size=1, num_voxels_cap=V, n_dets=N_DETS, seed=0)
-    frame = {
-        k: jnp.asarray(batch[k])
-        for k in ("voxels", "num_points", "coordinates", "voxels_valid", "det_boxes")
-    }
+
+
+def _random_variables(model, batch):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     # shape-only init (eager init would run thousands of ops through the
     # remote-TPU tunnel); random weights for honest compute
     var_shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), batch, train=False)
     )
-    import numpy as np
-
     rng = np.random.default_rng(0)
-    variables = jax.tree.map(
+    return jax.tree.map(
         lambda s: jnp.asarray(
             rng.normal(0, 0.05, s.shape).astype(np.float32)
             if s.dtype == jnp.float32
@@ -104,20 +99,96 @@ def main():
         var_shapes,
     )
 
+
+def _frames(cfg, lanes: int):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shasta_tpu.data.synthetic import make_batch
+
+    keys = ("voxels", "num_points", "coordinates", "voxels_valid", "det_boxes")
+    parts = [
+        make_batch(cfg, batch_size=1, num_voxels_cap=V_PER_FRAME,
+                   n_dets=N_DETS, seed=s)
+        for s in range(lanes)
+    ]
+    batch = {k: np.concatenate([p[k] for p in parts], axis=0) for k in parts[0]}
+    return batch, {k: jnp.asarray(batch[k]) for k in keys}
+
+
+def _run_batched(model, variables, lanes: int, iters: int) -> float:
+    from shasta_tpu.infer import BatchedScenePipeline, default_tracker_params
+
+    _, frame = _frames(model.cfg, lanes)
+    pipe = BatchedScenePipeline(
+        model=model, variables=variables, cls_id=2,
+        params=default_tracker_params(max_age=4), batch=lanes,
+    )
+    n_curr = [N_DETS] * lanes
+    lags = [0.5] * lanes
+    pipe.step_frames(frame, n_curr, [True] * lanes, lags)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipe.step_frames(frame, n_curr, [False] * lanes, lags)
+    del out
+    return lanes * iters / (time.perf_counter() - t0)
+
+
+def _run_single(model, variables, iters: int) -> float:
+    from shasta_tpu.infer import ScenePipeline, default_tracker_params
+
+    _, frame = _frames(model.cfg, 1)
     pipe = ScenePipeline(
         model=model, variables=variables, cls_id=2,
         params=default_tracker_params(max_age=4),
     )
-
-    # warmup / compile
-    out = pipe.step_frame(frame, N_DETS, 0.5)
-
-    iters = 30
+    pipe.step_frame(frame, N_DETS, 0.5)  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(iters):
         out = pipe.step_frame(frame, N_DETS, 0.5)
-    dt = time.perf_counter() - t0
-    fps = iters / dt
+    del out
+    return iters / (time.perf_counter() - t0)
+
+
+def main():
+    fallback = False
+    if not ensure_backend_alive():
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        fallback = True
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    if fallback:
+        jax.config.update("jax_platforms", "cpu")
+        print("WARNING: TPU backend unreachable; benchmarking on CPU", file=sys.stderr)
+
+    from shasta_tpu.models import ShastaModel
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    lanes = 1 if ("--b1" in sys.argv or not on_tpu) else 4
+    if "--lanes" in sys.argv:
+        lanes = int(sys.argv[sys.argv.index("--lanes") + 1])
+    iters = 30 if on_tpu else 3
+
+    cfg = _make_cfg(lanes)
+    model = ShastaModel(cfg)
+    batch, _ = _frames(cfg, lanes)
+    variables = _random_variables(model, batch)
+
+    if lanes > 1:
+        try:
+            fps = _run_batched(model, variables, lanes, iters)
+        except Exception as e:  # pragma: no cover - memory/compile safety net
+            print(f"WARNING: {lanes}-lane bench failed ({e}); falling back to B=1",
+                  file=sys.stderr)
+            lanes = 1
+            cfg = _make_cfg(1)
+            model = ShastaModel(cfg)
+            batch, _ = _frames(cfg, 1)
+            variables = _random_variables(model, batch)
+            fps = _run_single(model, variables, iters)
+    else:
+        fps = _run_single(model, variables, iters)
 
     print(
         json.dumps(
@@ -127,6 +198,7 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
                 "platform": jax.devices()[0].platform,
+                "lanes": lanes,
             }
         )
     )

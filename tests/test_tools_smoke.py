@@ -131,6 +131,33 @@ def test_track_scene_cli(tree):
     assert png.stat().st_size > 1000
 
 
+def test_track_multiclass(tree):
+    """Shared-trunk multi-class serving over the micro dataroot: two class
+    heads (random init — the tool supports checkpoint=None), one trunk
+    pass/frame, merged on-device tracker, FN-aware anno assembly."""
+    tmp = tree["tmp"]
+    # second class config: same micro geometry, smaller max_obj, no dets of
+    # that class in the fixture -> exercises the zero-det class-drop quirk
+    bus_cfg = tmp / "micro_bus.py"
+    bus_cfg.write_text(
+        open(tree["cfg"]).read().replace('det_type = ["car"]', 'det_type = ["bus"]')
+    )
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from track_multiclass import run_multiclass
+
+    out = tmp / "multiclass" / "tracking_result.json"
+    result = run_multiclass(
+        {"car": (str(tree["cfg"]), None), "bus": (str(bus_cfg), None)},
+        str(out), trunk_key="car",
+    )
+    assert len(result["results"]) == 3
+    for token, annos in result["results"].items():
+        for a in annos:
+            assert a["tracking_name"] in ("car", "bus")
+            assert int(a["tracking_id"]) >= 1
+    assert json.load(open(out))["results"].keys() == result["results"].keys()
+
+
 def test_validate_cli_with_lite_amota(tree):
     tmp = tree["tmp"]
     ckpt = tmp / "train" / "epoch_1"

@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""7-class on-device tracking with ONE shared trunk pass per frame.
+
+The reference evaluates 7 per-class models independently and re-runs the
+BEV backbone 14x per frame pair (official_val.sh -> eval.py x7 ->
+merge_results.py -> pub_test.py). All released models share the same
+frozen trunk (bev_map.pth), so MultiClassScenePipeline computes the BEV
+map once and runs each class's affinity head + one merged on-device
+tracker table — this CLI produces the final tracking_result.json in a
+single pass over the data.
+
+Usage:
+  python tools/track_multiclass.py --classes car,pedestrian,bus \
+      --config_dir configs/nusc --checkpoints work_dirs/{cls}/epoch_3 \
+      --out work_dirs/multiclass/tracking_result.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# config-file names per tracking class (configs/nusc/*.py)
+CFG_NAME = {
+    "car": "car", "pedestrian": "ped", "truck": "truck", "trailer": "trailer",
+    "bus": "bus", "motorcycle": "motorcycle", "bicycle": "bicycle",
+}
+
+
+def run_multiclass(class_specs: dict, out_path: str, trunk_key: str | None = None,
+                   progress: bool = False) -> dict:
+    """class_specs: {name: (config_path, checkpoint_path_or_None)}.
+    Random-init weights when checkpoint is None (smoke/testing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shasta_tpu.data.nuscenes import (
+        NuScenesTrackDataset,
+        PointPipelineConfig,
+        collate,
+    )
+    from shasta_tpu.data.synthetic import make_batch
+    from shasta_tpu.infer import MultiClassScenePipeline, default_tracker_params
+    from shasta_tpu.train.checkpoint import load_checkpoint, merge_pretrained
+    from shasta_tpu.utils import Config
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from train import build_model
+
+    class_heads = {}
+    box_datasets = {}
+    vox_dataset = None
+    max_age = 4
+    for name, (config_path, ckpt) in class_specs.items():
+        cfg = Config.fromfile(config_path)
+        model, mc = build_model(cfg)
+        pp = dict(cfg.point_pipeline)
+        pp["shuffle_points"] = False
+        ds_kw = dict(
+            **dict(cfg.data.val), det_type=list(cfg.det_type),
+            max_objects=cfg.max_objects, pipeline=PointPipelineConfig(**pp),
+        )
+        box_datasets[name] = NuScenesTrackDataset(**ds_kw, load_points=False)
+        if vox_dataset is None:
+            vox_dataset = NuScenesTrackDataset(**ds_kw)
+        init_np = make_batch(mc, batch_size=1, num_voxels_cap=pp["max_voxels"], n_dets=4)
+        one = {k: jnp.asarray(v) for k, v in init_np.items()}
+        variables = model.init(jax.random.PRNGKey(0), one, train=False)
+        if ckpt:
+            variables = merge_pretrained(variables, load_checkpoint(ckpt))
+        class_heads[name] = (model, variables)
+        max_age = cfg.get("max_age", 4)
+
+    pipe = MultiClassScenePipeline(
+        class_heads=class_heads,
+        trunk_key=trunk_key or next(iter(class_heads)),
+        params=default_tracker_params(max_age=max_age),
+    )
+
+    results: dict[str, list] = {}
+    it = range(len(vox_dataset))
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(it)
+        except ImportError:
+            pass
+
+    frame_keys = ("voxels", "num_points", "coordinates", "voxels_valid")
+    prev_cls: dict[str, list] = {n: [] for n in class_heads}
+    prev_lag: dict[str, float] = {n: 0.5 for n in class_heads}
+    for i in it:
+        vox_sample = vox_dataset[i]
+        token = vox_sample["token"]
+        if not vox_sample["prev_token"]:
+            pipe.reset()
+            prev_cls = {n: [] for n in class_heads}
+        batch = collate([vox_sample])
+        frame = {k: batch[k] for k in frame_keys}
+
+        class_boxes = {}
+        cls_samples = {}
+        for name, ds in box_datasets.items():
+            s = ds[i]
+            cls_samples[name] = s
+            class_boxes[name] = (s["det_boxes"][None], len(s["cls_det_boxes"]))
+        n_any = max(n for _, n in class_boxes.values())
+        lag = float(vox_sample["det_boxes"][0, 9]) if n_any else 0.5
+
+        out = pipe.step_frame(frame, class_boxes, lag)
+
+        annos = []
+        for name, o in out.items():
+            s = cls_samples[name]
+            N = class_heads[name][0].cfg.max_obj
+            for k in range(len(s["cls_det_boxes"])):
+                if not o.used[k]:
+                    continue
+                a = s["cls_det_boxes"][k]
+                annos.append({
+                    "sample_token": token,
+                    "translation": list(a["translation"]),
+                    "size": list(a["size"]),
+                    "rotation": list(a["rotation"]),
+                    "velocity": list(a["velocity"]),
+                    "tracking_id": str(int(o.tid[k])),
+                    "tracking_name": a["detection_name"],
+                    "tracking_score": float(o.ref[k]),
+                    "attribute_name": a.get("attribute_name"),
+                })
+            # FN-propagated prev boxes (eval.py:141-148 semantics on-device)
+            pc = prev_cls[name]
+            for n in range(len(pc)):
+                if not (o.fn[n] and o.used[N + n]):
+                    continue
+                src = pc[n]
+                tr = list(src["translation"])
+                tr[0] += prev_lag[name] * src["velocity"][0]
+                tr[1] += prev_lag[name] * src["velocity"][1]
+                annos.append({
+                    "sample_token": token,
+                    "translation": tr,
+                    "size": list(src["size"]),
+                    "rotation": list(src["rotation"]),
+                    "velocity": list(src["velocity"]),
+                    "tracking_id": str(int(o.tid[N + n])),
+                    "tracking_name": src["detection_name"],
+                    "tracking_score": float(o.ref[N + n]),
+                    "attribute_name": src.get("attribute_name"),
+                })
+            # next frame's FN propagation uses THIS frame's stored dt
+            # (prev_det_boxes[0, 9] in the reference, eval.py:142)
+            prev_cls[name] = cls_samples[name]["cls_det_boxes"]
+            prev_lag[name] = float(cls_samples[name]["det_boxes"][0, 9])
+        results[token] = annos
+
+    result = {"results": results, "meta": {
+        "use_camera": False, "use_lidar": True, "use_radar": False,
+        "use_map": False, "use_external": False,
+    }}
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--classes", default="car,pedestrian,truck,trailer,bus,motorcycle,bicycle")
+    ap.add_argument("--config_dir", default="configs/nusc")
+    ap.add_argument("--checkpoints", default=None,
+                    help="pattern with {cls}, e.g. work_dirs/{cls}/epoch_3")
+    ap.add_argument("--trunk_key", default="car")
+    ap.add_argument("--out", default="work_dirs/multiclass/tracking_result.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    specs = {}
+    for name in args.classes.split(","):
+        cfg_path = os.path.join(args.config_dir, CFG_NAME[name] + ".py")
+        ckpt = args.checkpoints.format(cls=CFG_NAME[name]) if args.checkpoints else None
+        specs[name] = (cfg_path, ckpt)
+    run_multiclass(
+        specs, args.out,
+        trunk_key=args.trunk_key if args.trunk_key in specs else None,
+        progress=True,
+    )
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -15,3 +15,6 @@ python tools/create_data.py --dataroot $ROOT --version v1.0-trainval \
     --out $OUT/infos_val_10sweeps_withvelo_filter_True.pkl
 python tools/create_data.py --dataroot $ROOT --version v1.0-test \
     --out $OUT/infos_test_10sweeps_withvelo.pkl --no_gt
+
+# 20 Hz mode (sweep-chain tokens + 10 Hz selection + interpolated GT):
+#   python tools/preprocess_nuscenes.py ... --mode 20hz

@@ -162,6 +162,15 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         print("WARNING: TPU backend unreachable; benchmarking on CPU", file=sys.stderr)
 
+    # persistent compilation cache: the serving program is large and this
+    # script recompiles it cold every round otherwise
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from shasta_tpu.models import ShastaModel
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -174,6 +183,11 @@ def main():
     model = ShastaModel(cfg)
     batch, _ = _frames(cfg, lanes)
     variables = _random_variables(model, batch)
+
+    profile_dir = None
+    if "--profile" in sys.argv:
+        profile_dir = "/tmp/shasta_bench_trace"
+        jax.profiler.start_trace(profile_dir)
 
     if lanes > 1:
         try:
@@ -189,6 +203,10 @@ def main():
             fps = _run_single(model, variables, iters)
     else:
         fps = _run_single(model, variables, iters)
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace -> {profile_dir}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -18,6 +18,39 @@ import numpy as np
 from .nuscenes import collate
 
 
+class ConcatDataset:
+    """Chain several datasets (det3d/datasets/dataset_wrappers.py
+    ConcatDataset): indices run through each dataset in order."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx: int):
+        if idx < 0:
+            idx += len(self)
+        di = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.datasets[di][idx - int(self._offsets[di])]
+
+
+class RepeatDataset:
+    """Repeat a dataset `times` times per epoch (dataset_wrappers.py
+    RepeatDataset) — the reference's trick for short schedules."""
+
+    def __init__(self, dataset, times: int):
+        self.dataset = dataset
+        self.times = int(times)
+
+    def __len__(self):
+        return self.times * len(self.dataset)
+
+    def __getitem__(self, idx: int):
+        return self.dataset[idx % len(self.dataset)]
+
+
 class DataLoader:
     def __init__(
         self,

@@ -11,6 +11,7 @@ from .utils.registry import DATASETS, MODELS, TRACKERS
 
 
 def register_all():
+    from .data.loader import ConcatDataset, RepeatDataset
     from .data.nuscenes import NuScenesTrackDataset
     from .models import ShastaModel, ShastaConfig
     from .models.bevmap import BEVMap
@@ -19,6 +20,8 @@ def register_all():
 
     if "NuScenesTrackDataset" not in DATASETS:
         DATASETS.register_module(NuScenesTrackDataset)
+        DATASETS.register_module(ConcatDataset)
+        DATASETS.register_module(RepeatDataset)
 
     def _shasta_from_cfg(**kwargs):
         kwargs = {

@@ -98,3 +98,23 @@ def test_visualizer_renders(tmp_path):
     p2 = tmp_path / "tracks.png"
     render_scene_tracks(results, str(p2))
     assert p2.stat().st_size > 1000
+
+
+def test_dataset_wrappers():
+    """ConcatDataset/RepeatDataset (det3d dataset_wrappers equivalents)."""
+    from shasta_tpu.data.loader import ConcatDataset, RepeatDataset
+
+    a = [{"v": i} for i in range(3)]
+    b = [{"v": 10 + i} for i in range(2)]
+    c = ConcatDataset([a, b])
+    assert len(c) == 5
+    assert [c[i]["v"] for i in range(5)] == [0, 1, 2, 10, 11]
+    assert c[-1]["v"] == 11
+    r = RepeatDataset(a, times=3)
+    assert len(r) == 9
+    assert [r[i]["v"] for i in range(9)] == [0, 1, 2] * 3
+    # registry-built
+    from shasta_tpu.registry_setup import register_all
+
+    regs = register_all()
+    assert "ConcatDataset" in regs["datasets"] and "RepeatDataset" in regs["datasets"]

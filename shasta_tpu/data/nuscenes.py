@@ -373,7 +373,40 @@ ARRAY_KEYS = (
     "det_boxes", "prev_det_boxes", "gt",
     "voxels", "coordinates", "num_points", "voxels_valid",
     "prev_voxels", "prev_coordinates", "prev_num_points", "prev_voxels_valid",
+    "feat", "prev_feat",
 )
+
+
+@dataclass
+class CachedFeatureDataset:
+    """Frame-pair dataset over PRECOMPUTED BEV descriptors.
+
+    With the reference's frozen trunk (train.py:184-191) the per-frame
+    descriptors never change during affinity training, so
+    tools/cache_features.py stores them once ({token}.npz key 'feat',
+    (max_obj, num_point*C)) and this wrapper serves (boxes, gt, feat,
+    prev_feat) samples — the train step then runs the affinity head alone
+    (make_train_step(cached=True)).
+    """
+
+    base: "NuScenesTrackDataset"  # built with load_points=False
+    features_path: str
+
+    def __len__(self):
+        return len(self.base)
+
+    def _feat(self, token: str) -> np.ndarray:
+        with np.load(os.path.join(self.features_path, token + ".npz")) as d:
+            return d["feat"].astype(np.float32)
+
+    def __getitem__(self, idx: int) -> dict[str, Any]:
+        s = self.base[idx]
+        s["feat"] = self._feat(s["token"])
+        s["prev_feat"] = (
+            self._feat(s["prev_token"]) if s["prev_token"]
+            else np.zeros_like(s["feat"])
+        )
+        return s
 
 
 def collate(samples: list[dict[str, Any]]) -> dict[str, Any]:

@@ -111,15 +111,32 @@ def create_train_state(model, variables, tx) -> TrainState:
 
 def make_train_step(model, tx, mesh: Mesh | None = None, axis: str = "data",
                     bn_train: bool = False, donate: bool = True,
-                    remat: bool = False):
+                    remat: bool = False, cached: bool = False):
     """Build the jitted train step; data-parallel over `mesh` if given.
 
     remat=True rematerializes the forward during backprop (jax.checkpoint)
     — trades trunk FLOPs for activation memory, the TPU HBM lever for
-    larger per-device batches."""
+    larger per-device batches.
+
+    cached=True trains on precomputed BEV descriptors (batch keys `feat` /
+    `prev_feat`, tools/cache_features.py) instead of voxels: with the
+    frozen trunk of the reference recipe (train.py:184-191) the
+    descriptors are constants, so the step runs the affinity head alone —
+    ~100x fewer FLOPs than the reference's recompute-both-trunks step.
+    Incompatible with bn_train (the trunk never runs)."""
+    assert not (cached and bn_train), "cached training never runs the trunk"
 
     def _forward(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
+        if cached:
+            from ..models.shasta import ShastaModel
+
+            m1, m2 = model.apply(
+                variables, batch["prev_det_boxes"], batch["det_boxes"],
+                batch["prev_feat"], batch["feat"],
+                method=ShastaModel.affinity_step,
+            )
+            return m1, m2, batch_stats
         if bn_train:
             (m1, m2), updates = model.apply(
                 variables, batch, train=True, mutable=["batch_stats"]

@@ -33,6 +33,12 @@ data = dict(data, val=dict(
     cls_info_path=r"{split}/detections/cp/cls_individual_frames",
     frame_info_path=r"{out}/val_frame_info.json",
     test_mode=True,
+), train=dict(
+    info_path=r"{infos}",
+    det_path=r"{split}/detections/cp/sensor_individual_frames",
+    cls_info_path=r"{split}/detections/cp/cls_individual_frames",
+    frame_info_path=r"{out}/val_frame_info.json",
+    labels_path=r"{split}/gt_shasta/cp/individual_frames",
 ))
 """
 
@@ -56,9 +62,11 @@ def tree(tmp_path_factory):
     return dict(fx=fx, out=out, cfg=cfg_path, tmp=tmp)
 
 
-def _run(args, timeout=600):
+def _run(args, timeout=600, env_extra=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    if env_extra:
+        env.update(env_extra)
     r = subprocess.run(
         [sys.executable] + args, cwd=REPO, env=env,
         capture_output=True, text=True, timeout=timeout,
@@ -129,6 +137,37 @@ def test_track_scene_cli(tree):
     result = json.load(open(out))
     assert len(result["results"]) == 3
     assert png.stat().st_size > 1000
+
+
+def test_cached_feature_training_flow(tree):
+    """cache_features -> train --cached_features over the micro dataroot:
+    the frozen-trunk training accelerator end-to-end."""
+    tmp = tree["tmp"]
+    cache = tmp / "feat_cache"
+    _run([
+        "tools/cache_features.py", "--config", str(tree["cfg"]), "--cpu",
+        "--split", "train", "--out", str(cache), "--batch", "2",
+    ])
+    files = sorted(os.listdir(cache))
+    assert files == ["samp0.npz", "samp1.npz", "samp2.npz"]
+    feat = np.load(cache / files[0])["feat"]
+    assert feat.shape == (6, 5 * 64)
+
+    # cached training: batch of 1 sample/device, 1 epoch over 3 frames
+    cfg2 = tmp / "micro_car_cached.py"
+    cfg2.write_text(
+        open(tree["cfg"]).read()
+        + "\ndata = dict(data, samples_per_device=1, workers=2)\n"
+    )
+    work = tmp / "train_cached"
+    # single device so the 3-frame micro split yields whole batches
+    _run([
+        "tools/train.py", "--config", str(cfg2), "--cpu", "--epochs", "1",
+        "--work_dir", str(work), "--cached_features", str(cache),
+    ], env_extra={"XLA_FLAGS": ""})
+    assert (work / "epoch_1").exists()
+    log = [json.loads(l) for l in open(work / "train_log.jsonl")]
+    assert len(log) >= 1 and all(np.isfinite(e["loss"]) for e in log)
 
 
 def test_track_multiclass(tree):

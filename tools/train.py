@@ -33,6 +33,9 @@ def parse_args():
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--validate", action="store_true", help="run validation per epoch")
+    p.add_argument("--cached_features", default=None,
+                   help="dir of precomputed BEV descriptors (tools/cache_features.py);"
+                        " trains the affinity head alone (~100x fewer FLOPs/step)")
     return p.parse_args()
 
 
@@ -101,7 +104,12 @@ def main():
             dead_trk_ratio=cfg.dead_trk_ratio,
             pipeline=PointPipelineConfig(**dict(cfg.point_pipeline)),
             seed=seed,
+            load_points=args.cached_features is None,
         )
+        if args.cached_features:
+            from shasta_tpu.data.nuscenes import CachedFeatureDataset
+
+            ds = CachedFeatureDataset(ds, args.cached_features)
         loader = DataLoader(
             ds, batch_size=cfg.data.samples_per_device * n_dev,
             num_workers=cfg.data.workers, seed=seed,
@@ -156,7 +164,9 @@ def main():
         grad_clip_norm=cfg.get("grad_clip"),
     )
     state = create_train_state(model, variables, tx)
-    step_fn = make_train_step(model, tx, mesh=mesh)
+    step_fn = make_train_step(
+        model, tx, mesh=mesh, cached=args.cached_features is not None
+    )
 
     # ---- loop ----
     log_path = os.path.join(work_dir, "train_log.jsonl")

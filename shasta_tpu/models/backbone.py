@@ -108,8 +108,11 @@ class StridedConvBNReLU(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, st, train: bool = False):
-        plan = sp.build_strided_plan(st, self.kernel, self.stride, self.padding, self.max_out)
+    def __call__(self, st, train: bool = False, table=None):
+        plan = sp.build_strided_plan(
+            st, self.kernel, self.stride, self.padding, self.max_out,
+            table=table,
+        )
         K = int(self.kernel[0] * self.kernel[1] * self.kernel[2])
         C = st.feats.shape[-1]
         w = self.param(
@@ -143,8 +146,12 @@ class SparseBackbone(nn.Module):
         bn = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                   use_pallas=self.use_pallas)
 
-        # conv_input + conv1 share position set "res0".
-        idx0 = sp.build_subm_index(st)
+        # conv_input + conv1 share position set "res0". One argsort builds
+        # the stage's KeyTable; every later position set comes out of a
+        # strided compaction ALREADY key-sorted, so the remaining stages
+        # (and every strided input lookup) skip their sorts entirely.
+        t0 = sp.key_table(st)
+        idx0 = sp.build_subm_index(st, table=t0)
         w = self.param(
             "conv_input_kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
@@ -158,25 +165,28 @@ class SparseBackbone(nn.Module):
         x = SparseBasicBlock(16, **bn, name="res0b")(x, idx0, train)
 
         # conv2
-        x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, name="down1")(x, train)
-        idx1 = sp.build_subm_index(x)
+        x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, name="down1")(x, train, table=t0)
+        t1 = sp.key_table_presorted(x)
+        idx1 = sp.build_subm_index(x, table=t1)
         x = SparseBasicBlock(32, **bn, name="res1a")(x, idx1, train)
         x = SparseBasicBlock(32, **bn, name="res1b")(x, idx1, train)
 
         # conv3
-        x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, name="down2")(x, train)
-        idx2 = sp.build_subm_index(x)
+        x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, name="down2")(x, train, table=t1)
+        t2 = sp.key_table_presorted(x)
+        idx2 = sp.build_subm_index(x, table=t2)
         x = SparseBasicBlock(64, **bn, name="res2a")(x, idx2, train)
         x = SparseBasicBlock(64, **bn, name="res2b")(x, idx2, train)
 
         # conv4 (z unpadded: padding (0,1,1), scn.py:146)
-        x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, name="down3")(x, train)
-        idx3 = sp.build_subm_index(x)
+        x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, name="down3")(x, train, table=t2)
+        t3 = sp.key_table_presorted(x)
+        idx3 = sp.build_subm_index(x, table=t3)
         x = SparseBasicBlock(128, **bn, name="res3a")(x, idx3, train)
         x = SparseBasicBlock(128, **bn, name="res3b")(x, idx3, train)
 
         # extra_conv: (3,1,1) stride (2,1,1) pad 0 (scn.py:155-161)
-        x = StridedConvBNReLU(128, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.cap_extra, **bn, name="extra")(x, train)
+        x = StridedConvBNReLU(128, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.cap_extra, **bn, name="extra")(x, train, table=t3)
 
         dense = sp.to_dense(x)  # (B, D, H, W, C)
         B, D, H, W, C = dense.shape

@@ -79,14 +79,39 @@ class NeighborIndex(NamedTuple):
     gather: jnp.ndarray
 
 
-def build_subm_index(st: SparseTensor, kernel: Sequence[int] = (3, 3, 3)) -> NeighborIndex:
+class KeyTable(NamedTuple):
+    """Sorted linear keys + permutation of one position set, shared by
+    every index build over that set (one argsort instead of one per
+    lookup)."""
+
+    sorted_keys: jnp.ndarray  # (V,) ascending, SENTINEL tail
+    perm: jnp.ndarray  # (V,) argsort indices
+
+
+def key_table(st: SparseTensor) -> KeyTable:
+    keys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+    perm = jnp.argsort(keys)
+    return KeyTable(keys[perm], perm)
+
+
+def key_table_presorted(st: SparseTensor) -> KeyTable:
+    """KeyTable of a tensor whose rows are ALREADY key-sorted with invalid
+    rows at the tail — true for every strided_conv output (the dedup
+    compaction emits ascending keys) — skipping the argsort entirely."""
+    keys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+    return KeyTable(keys, jnp.arange(st.capacity, dtype=jnp.int32))
+
+
+def build_subm_index(
+    st: SparseTensor,
+    kernel: Sequence[int] = (3, 3, 3),
+    table: KeyTable | None = None,
+) -> NeighborIndex:
     """Submanifold neighbor indices: output positions == input positions."""
     kz, ky, kx = kernel
     pz, py, px = kz // 2, ky // 2, kx // 2
     Z, Y, X = st.shape
-    keys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
-    perm = jnp.argsort(keys)
-    sorted_keys = keys[perm]
+    sorted_keys, perm = table if table is not None else key_table(st)
 
     offsets = np.stack(
         np.meshgrid(
@@ -165,13 +190,16 @@ def build_strided_plan(
     stride: Sequence[int],
     padding: Sequence[int],
     max_out: int,
+    table: KeyTable | None = None,
 ) -> StridedPlan:
     """Exact spconv output set for SparseConv3d (scn.py conv2/3/4/extra).
 
     An output position o is active iff some active input lies at
     in = o*s + k - p for a kernel tap k. We enumerate, per input voxel, all
     K candidate outputs o = (in + p - k)/s (masked to integral, in-range),
-    dedupe via sort, and compact into a fixed (max_out,) set.
+    dedupe via sort, and compact into a fixed (max_out,) set. The emitted
+    set is KEY-SORTED (ascending, SENTINEL tail), so downstream index
+    builds can use key_table_presorted.
     """
     kz, ky, kx = kernel
     sz, sy, sx = stride
@@ -234,9 +262,7 @@ def build_strided_plan(
 
     # Gather indices: input at in = o*s + k - p for each tap (one batched
     # searchsorted over all K taps).
-    in_keys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
-    perm = jnp.argsort(in_keys)
-    sorted_in = in_keys[perm]
+    sorted_in, perm = table if table is not None else key_table(st)
     offsets = np.stack(
         np.meshgrid(np.arange(kz), np.arange(ky), np.arange(kx), indexing="ij"),
         axis=-1,

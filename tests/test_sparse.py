@@ -145,3 +145,41 @@ def test_masked_batch_stats(rng):
     mean, var = sp.masked_batch_stats(jnp.array(feats), jnp.array(valid))
     np.testing.assert_allclose(np.asarray(mean), feats[:20].mean(0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(var), feats[:20].var(0), atol=1e-5)
+
+
+def test_strided_output_is_key_sorted_and_presorted_table_matches(rng):
+    """StridedPlan emits an ascending-key set with SENTINEL tail, so
+    key_table_presorted over it equals the argsort key_table — the
+    invariant the backbone's sort-skipping relies on."""
+    import jax.numpy as jnp
+
+    st, coords, feats = _make_sparse(rng, B=2, shape=(8, 12, 12), n=60, C=4, cap=96)
+    plan = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1), max_out=128)
+    out = sp.SparseTensor(
+        feats=jnp.zeros((128, 4)), coords=plan.coords, valid=plan.valid,
+        shape=plan.out_shape, batch_size=2,
+    )
+    keys = sp.encode_keys(out.coords, out.valid, out.shape, out.batch_size)
+    keys_np = np.asarray(keys)
+    assert np.all(np.diff(keys_np.astype(np.int64)) >= 0), "not ascending"
+    fast = sp.key_table_presorted(out)
+    slow = sp.key_table(out)
+    np.testing.assert_array_equal(np.asarray(fast.sorted_keys), np.asarray(slow.sorted_keys))
+    # permutations may differ among equal SENTINEL tails; the LOOKUP result
+    # must be identical for any query set
+    q = sp.encode_keys(out.coords, out.valid, out.shape, out.batch_size)
+    a = sp._sorted_lookup(fast.sorted_keys, fast.perm, q)
+    b = sp._sorted_lookup(slow.sorted_keys, slow.perm, q)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_subm_index_with_shared_table_matches(rng):
+    st, coords, feats = _make_sparse(rng, B=1, shape=(6, 10, 10), n=40, C=4, cap=64)
+    t = sp.key_table(st)
+    a = sp.build_subm_index(st)
+    b = sp.build_subm_index(st, table=t)
+    np.testing.assert_array_equal(np.asarray(a.gather), np.asarray(b.gather))
+    p1 = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1), 64)
+    p2 = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1), 64, table=t)
+    np.testing.assert_array_equal(np.asarray(p1.gather), np.asarray(p2.gather))
+    np.testing.assert_array_equal(np.asarray(p1.coords), np.asarray(p2.coords))

@@ -76,6 +76,9 @@ def _make_cfg(lanes: int):
         cap_extra=12000 * lanes,
         use_pallas_gather="--pallas" in sys.argv,
         dtype=jnp.bfloat16 if "--bf16" in sys.argv else None,
+        # synthetic frames are key-sorted; skips the stage-0 argsort when
+        # one frame is packed per program (B=1 lane), no-op otherwise
+        assume_sorted_voxels=True,
     )
 
 

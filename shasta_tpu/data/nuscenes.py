@@ -210,6 +210,9 @@ class PointPipelineConfig:
     global_rot_noise: tuple[float, float] | None = (-0.78539816, 0.78539816)
     global_scale_noise: tuple[float, float] | None = (0.9, 1.1)
     global_translate_std: float | None = 0.5
+    # host-side key-sort of the voxel rows (pair with
+    # ShastaConfig.assume_sorted_voxels to skip the device stage-0 argsort)
+    sort_voxels: bool = False
 
 
 def augment_points(points: np.ndarray, cfg: PointPipelineConfig, rng: np.random.Generator):
@@ -229,9 +232,15 @@ def augment_points(points: np.ndarray, cfg: PointPipelineConfig, rng: np.random.
 
 def voxelize_frame(
     points: np.ndarray, cfg: PointPipelineConfig, rng: np.random.Generator,
-    train: bool,
+    train: bool, sort_by_key: bool = False,
 ):
-    """Fixed-shape voxel arrays: (V,P,5), (V,3) zyx, (V,), (V,) valid."""
+    """Fixed-shape voxel arrays: (V,P,5), (V,3) zyx, (V,), (V,) valid.
+
+    sort_by_key orders the valid rows by linear (z,y,x) key on the host, so
+    the device backbone can skip its stage-0 argsort entirely
+    (ShastaConfig.assume_sorted_voxels; per-voxel results are order-
+    invariant — the reference keeps arrival order, point_cloud_ops.py:130).
+    """
     if train:
         points = augment_points(points.copy(), cfg, rng)
     if cfg.shuffle_points and train:
@@ -245,6 +254,12 @@ def voxelize_frame(
         max_points=cfg.max_points_in_voxel,
         max_voxels=cfg.max_voxels,
     )
+    if sort_by_key and len(c):
+        gy = int(round((cfg.pc_range[4] - cfg.pc_range[1]) / cfg.voxel_size[1]))
+        gx = int(round((cfg.pc_range[3] - cfg.pc_range[0]) / cfg.voxel_size[0]))
+        key = (c[:, 0].astype(np.int64) * gy + c[:, 1]) * gx + c[:, 2]
+        order = np.argsort(key, kind="stable")
+        v, c, n = v[order], c[order], n[order]
     V, P = cfg.max_voxels, cfg.max_points_in_voxel
     M = len(c)
     voxels = np.zeros((V, P, points.shape[1]), np.float32)
@@ -360,7 +375,8 @@ class NuScenesTrackDataset:
             for prefix, inf in (("", info), ("prev_", prev_info)):
                 pts = load_sweep_points(inf, self.pipeline.nsweeps, rng)
                 v, c, n, m = voxelize_frame(
-                    pts, self.pipeline, rng, train=not self.test_mode
+                    pts, self.pipeline, rng, train=not self.test_mode,
+                    sort_by_key=self.pipeline.sort_voxels,
                 )
                 out[prefix + "voxels"] = v
                 out[prefix + "coordinates"] = c

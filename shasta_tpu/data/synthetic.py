@@ -30,7 +30,9 @@ def make_batch(
     def frame():
         m = int(V * occupancy)
         # unique-ish random voxel coords (collisions are harmless: the
-        # backbone treats duplicate keys as one lookup winner)
+        # backbone treats duplicate keys as one lookup winner), key-sorted
+        # like the host pipeline's sort_voxels mode so benches may enable
+        # ShastaConfig.assume_sorted_voxels
         coords = np.stack(
             [
                 rng.integers(0, Z - 1, size=V),
@@ -39,6 +41,10 @@ def make_batch(
             ],
             axis=1,
         ).astype(np.int32)
+        key = (coords[:, 0].astype(np.int64) * Y + coords[:, 1]) * X + coords[:, 2]
+        order = np.argsort(key, kind="stable")
+        m_ord = np.concatenate([order[order < m], order[order >= m]])
+        coords = coords[m_ord] if m < V else coords[order]
         nump = rng.integers(1, P + 1, size=V).astype(np.int32)
         vox = rng.normal(size=(V, P, cfg.num_input_features)).astype(np.float32)
         valid = (np.arange(V) < m)

@@ -140,6 +140,10 @@ class SparseBackbone(nn.Module):
     # Route every conv's gather+matmul through the VMEM-resident Pallas
     # kernel (inference only — no VJP; see ops/pallas/sparse_gather.py).
     use_pallas: bool = False
+    # Input voxels are host-sorted by linear key (valid rows ascending,
+    # invalid tail) — only sound when ONE frame is packed per program,
+    # since multi-frame packing interleaves SENTINEL tails.
+    assume_sorted: bool = False
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, train: bool = False) -> jnp.ndarray:
@@ -150,7 +154,10 @@ class SparseBackbone(nn.Module):
         # the stage's KeyTable; every later position set comes out of a
         # strided compaction ALREADY key-sorted, so the remaining stages
         # (and every strided input lookup) skip their sorts entirely.
-        t0 = sp.key_table(st)
+        if self.assume_sorted and st.batch_size == 1:
+            t0 = sp.key_table_presorted(st)
+        else:
+            t0 = sp.key_table(st)
         idx0 = sp.build_subm_index(st, table=t0)
         w = self.param(
             "conv_input_kernel",

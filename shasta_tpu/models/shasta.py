@@ -56,6 +56,10 @@ class ShastaConfig:
     # Sparse-conv gathers via the VMEM-resident Pallas kernel (inference
     # only; ops/pallas/sparse_gather.py). A/B this on-chip vs XLA gather.
     use_pallas_gather: bool = False
+    # Voxels arrive host-sorted by linear key (PointPipelineConfig
+    # sort_voxels) -> the backbone skips its stage-0 argsort too. Only
+    # effective when one frame is packed per program (serving B=1).
+    assume_sorted_voxels: bool = False
 
 
 class ShastaModel(nn.Module):
@@ -72,6 +76,7 @@ class ShastaModel(nn.Module):
             bn_axis_name=c.bn_axis_name,
             dtype=c.dtype,
             use_pallas=c.use_pallas_gather,
+            assume_sorted=c.assume_sorted_voxels,
             name="backbone",
         )
         self.neck = RPN(dtype=c.dtype, name="neck")

@@ -183,3 +183,47 @@ def test_subm_index_with_shared_table_matches(rng):
     p2 = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1), 64, table=t)
     np.testing.assert_array_equal(np.asarray(p1.gather), np.asarray(p2.gather))
     np.testing.assert_array_equal(np.asarray(p1.coords), np.asarray(p2.coords))
+
+
+def test_assume_sorted_voxels_matches_argsort_path(rng):
+    """bev_single with host-sorted voxels + assume_sorted_voxels=True equals
+    the default argsort path on the same data (B=1 serving contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shasta_tpu.models import ShastaModel, ShastaConfig
+
+    kw = dict(max_obj=6, grid_shape=(41, 32, 32),
+              cap_conv2=1024, cap_conv3=512, cap_conv4=256, cap_extra=256)
+    m_base = ShastaModel(ShastaConfig(**kw))
+    m_fast = ShastaModel(ShastaConfig(assume_sorted_voxels=True, **kw))
+
+    # unique coords, host-sorted by linear (z,y,x) key, valid prefix
+    Z, Y, X = 40, 32, 32
+    n, V = 300, 512
+    seen = set()
+    while len(seen) < n:
+        seen.add((int(rng.integers(Z)), int(rng.integers(Y)), int(rng.integers(X))))
+    coords = np.array(sorted(seen), np.int32)  # sorted == key order (z,y,x)
+    vox = rng.normal(size=(V, 3, 5)).astype(np.float32)
+    nump = np.full((V,), 3, np.int32)
+    valid = np.arange(V) < n
+    frame = {
+        "voxels": jnp.asarray(vox[None]),
+        "num_points": jnp.asarray(np.where(valid, nump, 0)[None]),
+        "coordinates": jnp.asarray(
+            np.concatenate([coords, np.zeros((V - n, 3), np.int32)])[None]
+        ),
+        "voxels_valid": jnp.asarray(valid[None]),
+        "det_boxes": jnp.zeros((1, 6, 11)),
+    }
+    variables = m_base.init(jax.random.PRNGKey(0), {
+        **frame, "prev_det_boxes": frame["det_boxes"],
+        **{f"prev_{k}": v for k, v in frame.items() if k != "det_boxes"},
+    }, train=False)
+
+    bev_a = m_base.apply(variables, frame, train=False,
+                         method=ShastaModel.bev_single)
+    bev_b = m_fast.apply(variables, frame, train=False,
+                         method=ShastaModel.bev_single)
+    np.testing.assert_allclose(np.asarray(bev_b), np.asarray(bev_a), atol=1e-5)

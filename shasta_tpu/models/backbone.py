@@ -155,7 +155,7 @@ class SparseBackbone(nn.Module):
         # strided compaction ALREADY key-sorted, so the remaining stages
         # (and every strided input lookup) skip their sorts entirely.
         if self.assume_sorted and st.batch_size == 1:
-            t0 = sp.key_table_presorted(st)
+            t0 = sp.key_table_checked(st)  # guarded: sorts only if needed
         else:
             t0 = sp.key_table(st)
         idx0 = sp.build_subm_index(st, table=t0)

@@ -102,6 +102,25 @@ def key_table_presorted(st: SparseTensor) -> KeyTable:
     return KeyTable(keys, jnp.arange(st.capacity, dtype=jnp.int32))
 
 
+def key_table_checked(st: SparseTensor) -> KeyTable:
+    """Presorted fast path with a runtime guard: an O(V) monotonicity check
+    selects between the free arange table and a real argsort (lax.cond —
+    the sort only executes when the input is actually unsorted), so
+    ShastaConfig.assume_sorted_voxels can never corrupt results."""
+    keys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+    is_sorted = jnp.all(keys[1:] >= keys[:-1])
+    arange = jnp.arange(st.capacity, dtype=jnp.int32)
+
+    def fast(_):
+        return KeyTable(keys, arange)
+
+    def slow(_):
+        perm = jnp.argsort(keys)
+        return KeyTable(keys[perm], perm.astype(jnp.int32))
+
+    return jax.lax.cond(is_sorted, fast, slow, None)
+
+
 def build_subm_index(
     st: SparseTensor,
     kernel: Sequence[int] = (3, 3, 3),

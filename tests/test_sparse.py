@@ -227,3 +227,17 @@ def test_assume_sorted_voxels_matches_argsort_path(rng):
     bev_b = m_fast.apply(variables, frame, train=False,
                          method=ShastaModel.bev_single)
     np.testing.assert_allclose(np.asarray(bev_b), np.asarray(bev_a), atol=1e-5)
+
+
+def test_key_table_checked_guards_unsorted_input(rng):
+    """The guarded table sorts when input is NOT sorted, so
+    assume_sorted_voxels is safe even on wrong inputs."""
+    st, coords, feats = _make_sparse(rng, B=1, shape=(6, 10, 10), n=40, C=4, cap=64)
+    want = sp.key_table(st)
+    got = sp.key_table_checked(st)
+    np.testing.assert_array_equal(np.asarray(got.sorted_keys), np.asarray(want.sorted_keys))
+    q = sp.encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+    np.testing.assert_array_equal(
+        np.asarray(sp._sorted_lookup(got.sorted_keys, got.perm, q)),
+        np.asarray(sp._sorted_lookup(want.sorted_keys, want.perm, q)),
+    )

@@ -107,6 +107,43 @@ class WandbHook(Hook):
         self.run.finish()
 
 
+class EpochSeedHook(Hook):
+    """Reseed the loader's shuffle per epoch (DistSamplerSeedHook
+    equivalent, torchie hooks family: without it every epoch replays the
+    same shuffled order)."""
+
+    def __init__(self, loader):
+        self.loader = loader
+
+    def before_epoch(self, t: "Trainer"):
+        self.loader.epoch = t.epoch
+
+
+class NanGuardHook(Hook):
+    """Failure detection (absent in the reference, SURVEY §5): on a
+    non-finite loss, save a rescue checkpoint and stop instead of silently
+    training on garbage."""
+
+    priority = 10  # run before loggers
+
+    def after_iter(self, t: "Trainer"):
+        import math
+
+        loss = t.metrics.get("loss")
+        if loss is not None and not math.isfinite(loss):
+            from .checkpoint import save_checkpoint
+
+            path = os.path.join(t.work_dir, "rescue_nan")
+            save_checkpoint(path, {
+                "params": t.state.params,
+                "batch_stats": t.state.batch_stats,
+            })
+            raise FloatingPointError(
+                f"non-finite loss {loss} at epoch {t.epoch} iter {t.iter}; "
+                f"state saved to {path}"
+            )
+
+
 @dataclass
 class Trainer:
     """Epoch loop driving a jitted train step with prioritized hooks."""

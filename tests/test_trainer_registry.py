@@ -70,3 +70,59 @@ def test_checkpoint_hook(tmp_path):
     tr.register_hook(CheckpointHook(interval=1))
     tr.run()
     assert (tmp_path / "epoch_1").exists()
+
+
+def test_nan_guard_hook(tmp_path):
+    """NanGuardHook saves a rescue checkpoint and raises on NaN loss."""
+    import pytest
+
+    from flax import struct
+    from shasta_tpu.train.trainer import NanGuardHook
+
+    class S(struct.PyTreeNode):
+        params: dict
+        batch_stats: dict
+
+    state = S(params={"w": jnp.ones((2,))}, batch_stats={})
+    losses = iter([1.0, float("nan")])
+
+    def step(state, batch):
+        return state, {"loss": next(losses)}
+
+    t = Trainer(
+        step_fn=step, state=state, data_fn=lambda: [{}, {}, {}],
+        work_dir=str(tmp_path), max_epochs=1,
+    )
+    t.register_hook(NanGuardHook())
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        t.run()
+    import os
+
+    assert os.path.isdir(os.path.join(tmp_path, "rescue_nan"))
+
+
+def test_epoch_seed_hook_reshuffles(tmp_path):
+    """EpochSeedHook gives every epoch a fresh shuffle order (the
+    DistSamplerSeedHook behavior; without it epochs replay identically)."""
+    from shasta_tpu.data.loader import DataLoader
+    from shasta_tpu.data.nuscenes import ARRAY_KEYS  # noqa: F401
+    from shasta_tpu.train.trainer import EpochSeedHook
+
+    ds = [{"det_boxes": np.full((2, 11), i, np.float32)} for i in range(16)]
+    loader = DataLoader(ds, batch_size=4, num_workers=1, seed=0, prefetch=1)
+
+    def order_for(epoch):
+        loader.epoch = epoch
+        out = []
+        for b in loader:
+            out.extend(b["det_boxes"][:, 0, 0].astype(int).tolist())
+        return out
+
+    assert order_for(0) != order_for(1)
+    assert order_for(1) == order_for(1)  # deterministic per epoch
+
+    class DummyT:
+        epoch = 3
+
+    EpochSeedHook(loader).before_epoch(DummyT())
+    assert loader.epoch == 3

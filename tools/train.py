@@ -171,6 +171,8 @@ def main():
     # ---- loop ----
     log_path = os.path.join(work_dir, "train_log.jsonl")
     for epoch in range(start_epoch, epochs):
+        if not args.smoke:
+            loader.epoch = epoch  # fresh shuffle per epoch (sampler reseed)
         losses = []
         t0 = time.time()
         for i, batch_np in enumerate(batches()):

@@ -242,6 +242,95 @@ def test_batched_pipeline_matches_host_with_fn(scene):
         assert got == want, s["token"]
 
 
+def test_multiclass_two_classes_match_merged_host(scene):
+    """Two-class shared-tracker parity vs the official_val.sh host flow:
+    per-class run_affinity_eval -> merge -> PubTrackerMerged, including FN
+    propagation, global id counter, and the zero-det class-drop quirk."""
+    bus_rows = {
+        # bus appears in f1/f2 and vanishes in f3 -> FN propagation
+        "t1": [[-20.0, 0.0, 0.0, 2.5, 10.0, 3.0, 0.0, 1.0, 0.0, 0.5, 0.9]],
+        "t2": [[-19.5, 0.0, 0.0, 2.5, 10.0, 3.0, 0.0, 1.0, 0.0, 0.5, 0.9]],
+        "t3": [],
+    }
+
+    def _bus_cls(row):
+        d = _cls_det(row)
+        d["detection_name"] = "bus"
+        return d
+
+    bus_scene = []
+    toks = [(s["token"], s["prev_token"]) for s in scene]
+    for i, (tok, prev) in enumerate(toks):
+        rows = bus_rows[tok]
+        prev_rows = bus_rows[prev] if prev else []
+        s = _sample(tok, prev, rows, prev_rows)
+        s["cls_det_boxes"] = [_bus_cls(r) for r in rows]
+        s["prev_cls_det_boxes"] = [_bus_cls(r) for r in prev_rows]
+        bus_scene.append(s)
+
+    # ---- host path: per-class affinity eval, merged annos, merged tracker
+    def forward(batch):
+        m1, m2 = crafted_affinity(
+            jnp.asarray(batch["prev_det_boxes"]), jnp.asarray(batch["det_boxes"])
+        )
+        return np.asarray(m1), np.asarray(m2)
+
+    car_annos = run_affinity_eval(forward, scene)["results"]
+    bus_annos = run_affinity_eval(forward, bus_scene)["results"]
+    merged = {tok: car_annos[tok] + bus_annos[tok] for tok in car_annos}
+    frames = [
+        {"token": s["token"], "timestamp": 1.0 + 0.5 * i, "first": s["prev_token"] == ""}
+        for i, s in enumerate(scene)
+    ]
+    host, _ = track(merged, frames, max_age=4, merged=True)
+
+    # ---- fast path: shared tracker table across both class heads
+    cfg = ShastaConfig(max_obj=N)
+    pipe = MultiClassScenePipeline(
+        class_heads={"car": (CraftedModel(cfg), {}),
+                     "bus": (CraftedModel(cfg), {})},
+        trunk_key="car",
+        params=default_tracker_params(max_age=4),
+    )
+    from shasta_tpu.data.nuscenes import collate
+
+    frame_keys = ("voxels", "num_points", "coordinates", "voxels_valid")
+    for s, sb in zip(scene, bus_scene):
+        if s["prev_token"] == "":
+            pipe.reset()
+        batch = collate([s])
+        bbatch = collate([sb])
+        out = pipe.step_frame(
+            {k: batch[k] for k in frame_keys},
+            {"car": (batch["det_boxes"], len(s["cls_det_boxes"])),
+             "bus": (bbatch["det_boxes"], len(sb["cls_det_boxes"]))},
+            0.5,
+        )
+        got = {}
+        for name, src in (("car", s), ("bus", sb)):
+            o = out[name]
+            for k in range(len(src["cls_det_boxes"])):
+                if o.used[k]:
+                    ct = tuple(np.round(src["cls_det_boxes"][k]["translation"][:2], 4))
+                    got[(name,) + ct] = (int(o.tid[k]),
+                                         round(float(o.ref[k]), 6))
+            prev = src["prev_cls_det_boxes"]
+            if prev:
+                fn_lag = float(src["prev_det_boxes"][0, 9])
+                for n in range(len(prev)):
+                    if o.fn[n] and o.used[N + n]:
+                        tr = np.asarray(prev[n]["translation"][:2]) + fn_lag * np.asarray(
+                            prev[n]["velocity"])
+                        got[(name,) + tuple(np.round(tr, 4))] = (
+                            int(o.tid[N + n]), round(float(o.ref[N + n]), 6))
+        want = {
+            (a["tracking_name"],) + tuple(np.round(a["translation"][:2], 4)):
+                (int(a["tracking_id"]), round(float(a["tracking_score"]), 6))
+            for a in host["results"][s["token"]]
+        }
+        assert got == want, (s["token"], got, want)
+
+
 def test_multiclass_pipeline_matches_host_with_fn(scene):
     host = _host_result(scene)
     cfg = ShastaConfig(max_obj=N)

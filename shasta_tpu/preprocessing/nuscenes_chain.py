@@ -25,7 +25,6 @@ import numpy as np
 from ..core.transforms import (
     global_to_sensor_box,
     quat_inverse,
-    quat_multiply,
     quat_to_rotmat,
 )
 from .gt_shasta import frame_gt_matrices

@@ -16,7 +16,6 @@ trunk's BatchNorm runs in train mode.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax

@@ -36,7 +36,6 @@ def run_multiclass(class_specs: dict, out_path: str, trunk_key: str | None = Non
     Random-init weights when checkpoint is None (smoke/testing)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from shasta_tpu.data.nuscenes import (
         NuScenesTrackDataset,

@@ -162,3 +162,45 @@ def test_affinity_output_shapes_and_softmax(rng):
     assert m2.shape == (B, N + 2, N)
     np.testing.assert_allclose(np.asarray(m1.sum(2)), 1.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(m2.sum(1)), 1.0, atol=1e-5)
+
+
+def test_affinity_matches_torch_oracle_full_scale(rng):
+    """Release-scale parity (max_obj=90, 320-d descriptors): the
+    split-first-layer einsum trick and the 28800-dim anchor MLPs must
+    match the reference formulation at the real car-config sizes, not just
+    the toy ones (the converter shapes are pinned in
+    test_convert_fullscale; this pins the numerics)."""
+    torch.manual_seed(1)
+    N = 90
+    oracle = TorchOracle(max_obj=N).double()
+
+    B = 1
+    prev_boxes = rng.normal(size=(B, N, 7))
+    prev_boxes[:, :, 3:6] = np.abs(prev_boxes[:, :, 3:6]) + 0.5
+    curr_boxes = rng.normal(size=(B, N, 7))
+    curr_boxes[:, :, 3:6] = np.abs(curr_boxes[:, :, 3:6]) + 0.5
+    vel = rng.normal(size=(B, N, 2)) * 0.5
+    dt = np.full((B, N, 1), 0.5)
+    prev_feat = rng.normal(size=(B, N, F))
+    curr_feat = rng.normal(size=(B, N, F))
+
+    with torch.no_grad():
+        m1_t, m2_t = oracle(
+            *(torch.tensor(a) for a in (prev_boxes, curr_boxes, vel, dt, prev_feat, curr_feat))
+        )
+
+    sd = {k: v.float() for k, v in oracle.state_dict().items()}
+    params = convert_affinity(sd)
+    net = AffinityNet(max_obj=N, num_feats=NUM_FEATS)
+    m1_j, m2_j = net.apply(
+        {"params": params},
+        jnp.array(prev_boxes, jnp.float32),
+        jnp.array(curr_boxes, jnp.float32),
+        jnp.array(vel, jnp.float32),
+        jnp.array(dt, jnp.float32),
+        jnp.array(prev_feat, jnp.float32),
+        jnp.array(curr_feat, jnp.float32),
+    )
+    assert m1_j.shape == (B, N, N + 2) and m2_j.shape == (B, N + 2, N)
+    np.testing.assert_allclose(np.asarray(m1_j), m1_t.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(m2_j), m2_t.numpy(), atol=5e-4)

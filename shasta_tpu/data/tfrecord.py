@@ -36,12 +36,25 @@ def _table() -> list[int]:
     return _TABLE
 
 
-def crc32c(data: bytes, crc: int = 0) -> int:
+def _crc32c_py(data: bytes, crc: int = 0) -> int:
     t = _table()
     crc ^= 0xFFFFFFFF
     for b in data:
         crc = t[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """Dispatches to the native C++ kernel (runtime/src/host_ops.cpp) when
+    the library is built; pure-python table loop otherwise."""
+    try:
+        from .. import runtime
+
+        if runtime.available():
+            return int(runtime._lib.crc32c(bytes(data), len(data), crc))
+    except Exception:
+        pass
+    return _crc32c_py(data, crc)
 
 
 def masked_crc(data: bytes) -> int:

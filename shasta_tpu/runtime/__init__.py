@@ -58,6 +58,10 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int, ctypes.c_int, f32p, i32p, i32p,
             ]
             lib.points_to_voxel.restype = ctypes.c_int
+            lib.crc32c.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint32,
+            ]
+            lib.crc32c.restype = ctypes.c_uint32
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -132,6 +136,16 @@ def pc_in_box(box_mot: np.ndarray, pc: np.ndarray, scale: float = 1.5) -> np.nda
     mask = np.empty(len(p), np.uint8)
     lib.pc_in_box(b, p, len(p), scale, mask)
     return mask.astype(bool)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """Castagnoli CRC (TFRecord framing); python fallback in data/tfrecord."""
+    lib = _load()
+    if lib is None:
+        from ..data.tfrecord import _crc32c_py
+
+        return _crc32c_py(data, crc)
+    return int(lib.crc32c(data, len(data), crc))
 
 
 def points_to_voxel(points: np.ndarray, voxel_size, coors_range,

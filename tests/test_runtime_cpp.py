@@ -138,3 +138,15 @@ def test_voxelizer_speed(rng):
     runtime.points_to_voxel(pts, *args[:2], max_points=args[2], max_voxels=args[3])
     t_cpp = time.perf_counter() - t0
     assert t_cpp < 1.0, f"native voxelizer too slow: {t_cpp:.2f}s"
+
+
+def test_native_crc32c_matches_python():
+    import os
+
+    from shasta_tpu.data.tfrecord import _crc32c_py, crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283  # RFC 3720 vector
+    blob = os.urandom(4096)
+    assert crc32c(blob) == _crc32c_py(blob)
+    # chained CRCs agree too
+    assert crc32c(blob[2048:], crc32c(blob[:2048])) == _crc32c_py(blob)

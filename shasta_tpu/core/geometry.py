@@ -281,3 +281,42 @@ def m_distance(
     """Mahalanobis distance between state vectors (geometry.py m_distance)."""
     diff = det - trk
     return jnp.sqrt(diff @ inv_cov @ diff)
+
+
+def score_rectification(dets_mot, gts_mot):
+    """Oracle score rectification (mot_3d/utils/geometry.py:274-304): set
+    each detection's score to its best 3D IoU with an unclaimed GT
+    (claimed in descending-best-IoU order; duplicates 0.2, misses 0.05).
+
+    Host utility over mot-layout rows [x, y, z, yaw, l, w, h, (s)];
+    returns the rectified score vector (the reference mutates BBox.s).
+    """
+    import numpy as np
+
+    dets_mot = np.asarray(dets_mot, np.float64).reshape(-1, dets_mot.shape[-1] if len(dets_mot) else 8)
+    n, m = len(dets_mot), len(gts_mot)
+    if m == 0 or n == 0:
+        return np.zeros((n,), np.float64)
+
+    def to_geom(b):
+        # mot [x,y,z,yaw,l,w,h] -> geometry [x,y,z,w,l,h,yaw]
+        b = np.asarray(b, np.float64)
+        return np.stack([b[:, 0], b[:, 1], b[:, 2], b[:, 5], b[:, 4], b[:, 6], b[:, 3]], 1)
+
+    from .. import runtime
+
+    iou = runtime.iou_3d(to_geom(dets_mot), to_geom(np.asarray(gts_mot)))
+    max_idx = np.argmax(iou, axis=1)
+    max_iou = np.max(iou, axis=1)
+    order = list(reversed(sorted(range(n), key=lambda k: max_iou[k])))
+    out = np.empty((n,), np.float64)
+    claimed: set[int] = set()
+    for i in order:
+        if max_iou[i] >= 0.1 and max_idx[i] not in claimed:
+            out[i] = max_iou[i]
+            claimed.add(int(max_idx[i]))
+        elif max_iou[i] >= 0.1:
+            out[i] = 0.2
+        else:
+            out[i] = 0.05
+    return out

@@ -101,3 +101,25 @@ def test_pc_in_box():
     assert m.tolist() == [True, True, False, True]
     m1 = np.asarray(geometry.pc_in_box(box, pts, scale=1.0))
     assert m1.tolist() == [True, True, False, False]
+
+
+def test_score_rectification_oracle():
+    """mot_3d score_rectification parity: best-IoU claims a GT, duplicate
+    high-IoU dets get 0.2, misses 0.05, empty GT zeroes everything."""
+    import numpy as np
+
+    from shasta_tpu.core.geometry import score_rectification
+
+    # mot rows [x, y, z, yaw, l, w, h]
+    gt = np.array([[0, 0, 0, 0.0, 4, 2, 1.6]])
+    dets = np.array([
+        [0.1, 0, 0, 0.0, 4, 2, 1.6],   # near-perfect overlap
+        [0.5, 0.3, 0, 0.0, 4, 2, 1.6],  # decent overlap, same gt -> 0.2
+        [30, 30, 0, 0.0, 4, 2, 1.6],    # miss -> 0.05
+    ])
+    s = score_rectification(dets, gt)
+    assert s[0] > 0.8 and s[1] == 0.2 and s[2] == 0.05
+    np.testing.assert_array_equal(
+        score_rectification(dets, np.zeros((0, 7))), np.zeros(3)
+    )
+    assert score_rectification(np.zeros((0, 7)), gt).shape == (0,)

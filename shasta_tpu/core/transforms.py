@@ -39,6 +39,12 @@ def quat_inverse(q: np.ndarray) -> np.ndarray:
     return np.array([q[0], -q[1], -q[2], -q[3]]) / n
 
 
+def velo2world(ego_matrix: np.ndarray, velo: np.ndarray) -> np.ndarray:
+    """Rotate a local [vx, vy] velocity into the world frame by the ego
+    pose's rotation block (mot_3d/utils/geometry.py:15-20)."""
+    return np.asarray(ego_matrix)[:2, :2] @ np.asarray(velo)
+
+
 def quat_slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
     """Spherical interpolation between unit quaternions (shortest arc).
 

@@ -193,9 +193,20 @@ def main():
         jax.profiler.start_trace(profile_dir)
 
     if lanes > 1:
+        import signal
+
+        def _alarm(signum, frame):  # pragma: no cover
+            raise TimeoutError("batched bench exceeded the compile budget")
+
         try:
+            # guard the (remote-)compile of the big batched program; the
+            # B=1 fallback is smaller and known-good
+            signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(1500)
             fps = _run_batched(model, variables, lanes, iters)
+            signal.alarm(0)
         except Exception as e:  # pragma: no cover - memory/compile safety net
+            signal.alarm(0)
             print(f"WARNING: {lanes}-lane bench failed ({e}); falling back to B=1",
                   file=sys.stderr)
             lanes = 1

@@ -111,7 +111,7 @@ class StridedConvBNReLU(nn.Module):
     def __call__(self, st, train: bool = False, table=None):
         plan = sp.build_strided_plan(
             st, self.kernel, self.stride, self.padding, self.max_out,
-            table=table,
+            table=table, use_pallas=self.use_pallas,
         )
         K = int(self.kernel[0] * self.kernel[1] * self.kernel[2])
         C = st.feats.shape[-1]
@@ -158,7 +158,7 @@ class SparseBackbone(nn.Module):
             t0 = sp.key_table_checked(st)  # guarded: sorts only if needed
         else:
             t0 = sp.key_table(st)
-        idx0 = sp.build_subm_index(st, table=t0)
+        idx0 = sp.build_subm_index(st, table=t0, use_pallas=self.use_pallas)
         w = self.param(
             "conv_input_kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
@@ -174,21 +174,21 @@ class SparseBackbone(nn.Module):
         # conv2
         x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, name="down1")(x, train, table=t0)
         t1 = sp.key_table_presorted(x)
-        idx1 = sp.build_subm_index(x, table=t1)
+        idx1 = sp.build_subm_index(x, table=t1, use_pallas=self.use_pallas)
         x = SparseBasicBlock(32, **bn, name="res1a")(x, idx1, train)
         x = SparseBasicBlock(32, **bn, name="res1b")(x, idx1, train)
 
         # conv3
         x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, name="down2")(x, train, table=t1)
         t2 = sp.key_table_presorted(x)
-        idx2 = sp.build_subm_index(x, table=t2)
+        idx2 = sp.build_subm_index(x, table=t2, use_pallas=self.use_pallas)
         x = SparseBasicBlock(64, **bn, name="res2a")(x, idx2, train)
         x = SparseBasicBlock(64, **bn, name="res2b")(x, idx2, train)
 
         # conv4 (z unpadded: padding (0,1,1), scn.py:146)
         x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, name="down3")(x, train, table=t2)
         t3 = sp.key_table_presorted(x)
-        idx3 = sp.build_subm_index(x, table=t3)
+        idx3 = sp.build_subm_index(x, table=t3, use_pallas=self.use_pallas)
         x = SparseBasicBlock(128, **bn, name="res3a")(x, idx3, train)
         x = SparseBasicBlock(128, **bn, name="res3b")(x, idx3, train)
 

@@ -92,3 +92,64 @@ def _gathered_conv_pallas(
 def subm_conv_pallas(feats, gather, weight, tile: int = 256, interpret: bool = False):
     """Back-compat alias (submanifold case: one output row per input row)."""
     return gathered_conv_pallas(feats, gather, weight, tile=tile, interpret=interpret)
+
+
+def _lookup_kernel(q_ref, keys_ref, perm_ref, out_ref, *, V: int, steps: int,
+                   sentinel: int):
+    # q_ref: (TILE, K) int32 queries; keys_ref: (V,) ascending; perm_ref:
+    # (V,) argsort permutation; out_ref: (TILE, K) input-row indices (V=miss)
+    q = q_ref[:]
+    keys = keys_ref[:]
+    lo = jnp.zeros(q.shape, jnp.int32)
+    hi = jnp.full(q.shape, V, jnp.int32)
+    for _ in range(steps):  # static unroll of the binary search
+        mid = (lo + hi) // 2
+        km = jnp.take(keys, jnp.clip(mid, 0, V - 1))
+        go_right = km < q
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    pos = jnp.clip(lo, 0, V - 1)  # searchsorted(side='left'), clipped
+    found = (jnp.take(keys, pos) == q) & (q != sentinel)
+    out_ref[:] = jnp.where(found, jnp.take(perm_ref[:], pos), V).astype(jnp.int32)
+
+
+def sorted_lookup_pallas(sorted_keys, perm, queries, tile: int = 512,
+                         interpret: bool | None = None):
+    """VMEM-resident searchsorted: find each query key's input row.
+
+    XLA lowers jnp.searchsorted to ~log2(V) rounds of HBM gathers; the key
+    table is tiny (120k x 4B = 0.5 MB), so this kernel keeps it in VMEM and
+    runs the whole binary search on-chip. Same contract as
+    ops/sparse._sorted_lookup: returns int32 in [0, V], V = "not found".
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _sorted_lookup_pallas(sorted_keys, perm, queries, tile=tile,
+                                 interpret=bool(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _sorted_lookup_pallas(sorted_keys, perm, queries, tile: int = 512,
+                          interpret: bool = False):
+    V = sorted_keys.shape[0]
+    sentinel = jnp.iinfo(jnp.int32).max
+    shape = queries.shape
+    q2 = queries.reshape(-1, shape[-1]) if queries.ndim > 1 else queries.reshape(-1, 1)
+    M, K = q2.shape
+    Mp = ((M + tile - 1) // tile) * tile
+    qp = jnp.full((Mp, K), sentinel, jnp.int32).at[:M].set(q2.astype(jnp.int32))
+    steps = max(1, V.bit_length())  # V+1 candidate positions (0..V)
+
+    out = pl.pallas_call(
+        functools.partial(_lookup_kernel, V=V, steps=steps, sentinel=int(sentinel)),
+        grid=(Mp // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full key table resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full permutation
+        ],
+        out_specs=pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, K), jnp.int32),
+        interpret=interpret,
+    )(qp, sorted_keys.astype(jnp.int32), perm.astype(jnp.int32))
+    return out[:M].reshape(shape)

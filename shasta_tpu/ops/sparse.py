@@ -53,13 +53,20 @@ def encode_keys(coords: jnp.ndarray, valid: jnp.ndarray, shape, batch_size) -> j
     return jnp.where(valid, key, SENTINEL)
 
 
-def _sorted_lookup(sorted_keys: jnp.ndarray, perm: jnp.ndarray, query: jnp.ndarray):
+def _sorted_lookup(sorted_keys: jnp.ndarray, perm: jnp.ndarray, query: jnp.ndarray,
+                   use_pallas: bool = False):
     """Find indices of query keys in the original array; miss -> capacity.
 
     sorted_keys: (V,) ascending with SENTINEL tail; perm: argsort indices.
     query may be any shape (all taps are looked up in ONE searchsorted
     call). Returns int32 in [0, V] where V means "not found" (zero row).
+    use_pallas runs the binary search VMEM-resident
+    (ops/pallas/sparse_gather.sorted_lookup_pallas).
     """
+    if use_pallas:
+        from .pallas.sparse_gather import sorted_lookup_pallas
+
+        return sorted_lookup_pallas(sorted_keys, perm, query)
     V = sorted_keys.shape[0]
     pos = jnp.searchsorted(sorted_keys, query.reshape(-1), side="left")
     pos = jnp.clip(pos, 0, V - 1)
@@ -125,6 +132,7 @@ def build_subm_index(
     st: SparseTensor,
     kernel: Sequence[int] = (3, 3, 3),
     table: KeyTable | None = None,
+    use_pallas: bool = False,
 ) -> NeighborIndex:
     """Submanifold neighbor indices: output positions == input positions."""
     kz, ky, kx = kernel
@@ -147,7 +155,7 @@ def build_subm_index(
     in_range = jnp.all((n >= 0) & (n < dims), axis=-1) & st.valid[:, None]
     key = ((b[:, None] * Z + n[..., 0]) * Y + n[..., 1]) * X + n[..., 2]
     qk = jnp.where(in_range, key, SENTINEL)
-    return NeighborIndex(gather=_sorted_lookup(sorted_keys, perm, qk))  # (V, K)
+    return NeighborIndex(gather=_sorted_lookup(sorted_keys, perm, qk, use_pallas))  # (V, K)
 
 
 def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool):
@@ -210,6 +218,7 @@ def build_strided_plan(
     padding: Sequence[int],
     max_out: int,
     table: KeyTable | None = None,
+    use_pallas: bool = False,
 ) -> StridedPlan:
     """Exact spconv output set for SparseConv3d (scn.py conv2/3/4/extra).
 
@@ -291,7 +300,7 @@ def build_strided_plan(
     in_range = jnp.all((ic >= 0) & (ic < dims), axis=-1) & out_valid[:, None]
     qk = ((out_coords[:, :1] * Z + ic[..., 0]) * Y + ic[..., 1]) * X + ic[..., 2]
     qk = jnp.where(in_range, qk, SENTINEL)
-    gather = _sorted_lookup(sorted_in, perm, qk)  # (V_out, K)
+    gather = _sorted_lookup(sorted_in, perm, qk, use_pallas)  # (V_out, K)
     return StridedPlan(out_coords, out_valid, gather, out_shape)
 
 

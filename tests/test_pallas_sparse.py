@@ -72,3 +72,31 @@ def test_backbone_pallas_flag_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(bev_pal), np.asarray(bev_xla), atol=2e-4
     )
+
+
+def test_pallas_sorted_lookup_matches_xla(rng):
+    """VMEM binary-search lookup == jnp.searchsorted path, including
+    misses, SENTINEL queries, duplicate keys, and edge positions."""
+    from shasta_tpu.ops.pallas.sparse_gather import sorted_lookup_pallas
+
+    V = 200
+    keys = np.sort(rng.choice(5000, size=V - 20, replace=False)).astype(np.int32)
+    keys = np.concatenate([keys, np.full(20, sp.SENTINEL, np.int32)])  # tail
+    perm = rng.permutation(V).astype(np.int32)
+
+    q = np.concatenate([
+        keys[rng.integers(0, V - 20, 300)],            # hits
+        rng.integers(0, 5000, 200).astype(np.int32),   # mixed hits/misses
+        np.array([0, 4999, sp.SENTINEL], np.int32),    # edges + sentinel
+    ]).reshape(-1, 1)
+    want = sp._sorted_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q))
+    got = sorted_lookup_pallas(jnp.asarray(keys), jnp.asarray(perm),
+                               jnp.asarray(q), tile=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # multi-tap shape (M, 27) like the real index build
+    q27 = rng.integers(0, 5000, (50, 27)).astype(np.int32)
+    want = sp._sorted_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q27))
+    got = sorted_lookup_pallas(jnp.asarray(keys), jnp.asarray(perm),
+                               jnp.asarray(q27), tile=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

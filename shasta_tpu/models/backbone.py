@@ -140,9 +140,11 @@ class SparseBackbone(nn.Module):
     # Route every conv's gather+matmul through the VMEM-resident Pallas
     # kernel (inference only — no VJP; see ops/pallas/sparse_gather.py).
     use_pallas: bool = False
-    # Input voxels are host-sorted by linear key (valid rows ascending,
-    # invalid tail) — only sound when ONE frame is packed per program,
-    # since multi-frame packing interleaves SENTINEL tails.
+    # Input voxels are host-sorted by linear key per frame. Frame-major
+    # packing stays GLOBALLY ascending because each frame's padded rows map
+    # to that frame's filler key (encode_keys stride Z*Y*X+1), so this
+    # works for any batch size; a runtime monotonicity guard falls back to
+    # the argsort when the claim is false.
     assume_sorted: bool = False
 
     @nn.compact
@@ -154,7 +156,7 @@ class SparseBackbone(nn.Module):
         # the stage's KeyTable; every later position set comes out of a
         # strided compaction ALREADY key-sorted, so the remaining stages
         # (and every strided input lookup) skip their sorts entirely.
-        if self.assume_sorted and st.batch_size == 1:
+        if self.assume_sorted:
             t0 = sp.key_table_checked(st)  # guarded: sorts only if needed
         else:
             t0 = sp.key_table(st)

@@ -56,9 +56,9 @@ class ShastaConfig:
     # Sparse-conv gathers via the VMEM-resident Pallas kernel (inference
     # only; ops/pallas/sparse_gather.py). A/B this on-chip vs XLA gather.
     use_pallas_gather: bool = False
-    # Voxels arrive host-sorted by linear key (PointPipelineConfig
-    # sort_voxels) -> the backbone skips its stage-0 argsort too. Only
-    # effective when one frame is packed per program (serving B=1).
+    # Voxels arrive host-sorted by linear key per frame (PointPipelineConfig
+    # sort_voxels) -> the backbone skips its stage-0 argsort (any batch
+    # size; runtime-guarded, falls back to sorting when untrue).
     assume_sorted_voxels: bool = False
 
 

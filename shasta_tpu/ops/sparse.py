@@ -45,12 +45,23 @@ class SparseTensor(NamedTuple):
 
 
 def encode_keys(coords: jnp.ndarray, valid: jnp.ndarray, shape, batch_size) -> jnp.ndarray:
-    """Linear int32 keys; invalid rows -> SENTINEL. coords (V, 4) [b,z,y,x]."""
+    """Linear int32 keys; coords (V, 4) [b, z, y, x].
+
+    Per-frame stride is Z*Y*X + 1: cell keys occupy [b*S, b*S + ZYX) and
+    each frame owns one FILLER key b*S + ZYX that real queries can never
+    hit. Invalid rows map to their frame's filler (their b is correct for
+    frame-major packing; strided outputs set b = batch_size), so a packing
+    of per-frame key-sorted frames is GLOBALLY ascending — that's what lets
+    key_table_checked skip the argsort for any batch size."""
     Z, Y, X = shape
-    assert batch_size * Z * Y * X < 2**31, "grid too large for int32 keys"
+    cells = Z * Y * X
+    stride = cells + 1
+    assert (batch_size + 1) * stride < 2**31, "grid too large for int32 keys"
     b, z, y, x = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
-    key = ((b * Z + z) * Y + y) * X + x
-    return jnp.where(valid, key, SENTINEL)
+    cell = (z * Y + y) * X + x
+    key = b * stride + cell
+    filler = jnp.clip(b, 0, batch_size) * stride + cells
+    return jnp.where(valid, key, filler)
 
 
 def _sorted_lookup(sorted_keys: jnp.ndarray, perm: jnp.ndarray, query: jnp.ndarray,
@@ -153,7 +164,8 @@ def build_subm_index(
     n = zyx[:, None, :] + jnp.asarray(offsets, jnp.int32)[None, :, :]  # (V, K, 3)
     dims = jnp.asarray([Z, Y, X], jnp.int32)
     in_range = jnp.all((n >= 0) & (n < dims), axis=-1) & st.valid[:, None]
-    key = ((b[:, None] * Z + n[..., 0]) * Y + n[..., 1]) * X + n[..., 2]
+    cell = (n[..., 0] * Y + n[..., 1]) * X + n[..., 2]
+    key = b[:, None] * (Z * Y * X + 1) + cell
     qk = jnp.where(in_range, key, SENTINEL)
     return NeighborIndex(gather=_sorted_lookup(sorted_keys, perm, qk, use_pallas))  # (V, K)
 
@@ -265,7 +277,9 @@ def build_strided_plan(
         & st.valid[:, None]
     )
     OZ_, OY_, OX_ = out_shape
-    cand = ((b[:, None] * OZ_ + o[..., 0]) * OY_ + o[..., 1]) * OX_ + o[..., 2]
+    s_out = OZ_ * OY_ * OX_ + 1  # per-frame key stride incl. filler slot
+    cell_out = (o[..., 0] * OY_ + o[..., 1]) * OX_ + o[..., 2]
+    cand = b[:, None] * s_out + cell_out
     cand = jnp.where(ok, cand, SENTINEL).reshape(-1)  # (V*C,)
 
     s = jnp.sort(cand)
@@ -278,15 +292,21 @@ def build_strided_plan(
     )
     out_valid = out_keys != SENTINEL
 
-    # Decode output coords from keys.
+    # Decode output coords from keys; invalid rows get b = batch_size so
+    # their encode_keys fillers sort after every frame's keys (the sorted-
+    # output invariant key_table_presorted relies on).
     k = jnp.where(out_valid, out_keys, 0)
-    ox = k % OX
-    k = k // OX
-    oy = k % OY
-    k = k // OY
-    oz = k % OZ
-    ob = k // OZ
-    out_coords = jnp.stack([ob, oz, oy, ox], axis=1).astype(jnp.int32)
+    rem = k % s_out
+    ox = rem % OX
+    rem = rem // OX
+    oy = rem % OY
+    oz = rem // OY
+    ob = jnp.where(out_valid, k // s_out, st.batch_size)
+    out_coords = jnp.stack(
+        [ob, jnp.where(out_valid, oz, 0), jnp.where(out_valid, oy, 0),
+         jnp.where(out_valid, ox, 0)],
+        axis=1,
+    ).astype(jnp.int32)
 
     # Gather indices: input at in = o*s + k - p for each tap (one batched
     # searchsorted over all K taps).
@@ -298,7 +318,8 @@ def build_strided_plan(
     ic = out_coords[:, None, 1:4] * strides + jnp.asarray(offsets, jnp.int32) - pads
     dims = jnp.asarray([Z, Y, X], jnp.int32)
     in_range = jnp.all((ic >= 0) & (ic < dims), axis=-1) & out_valid[:, None]
-    qk = ((out_coords[:, :1] * Z + ic[..., 0]) * Y + ic[..., 1]) * X + ic[..., 2]
+    cell_in = (ic[..., 0] * Y + ic[..., 1]) * X + ic[..., 2]
+    qk = out_coords[:, :1] * (Z * Y * X + 1) + cell_in
     qk = jnp.where(in_range, qk, SENTINEL)
     gather = _sorted_lookup(sorted_in, perm, qk, use_pallas)  # (V_out, K)
     return StridedPlan(out_coords, out_valid, gather, out_shape)

@@ -241,3 +241,40 @@ def test_key_table_checked_guards_unsorted_input(rng):
         np.asarray(sp._sorted_lookup(got.sorted_keys, got.perm, q)),
         np.asarray(sp._sorted_lookup(want.sorted_keys, want.perm, q)),
     )
+
+
+def test_frame_major_packed_sorted_keys_are_globally_ascending(rng):
+    """Per-frame key-sorted voxels packed frame-major (with per-frame padded
+    tails) produce a globally ascending key array — the invariant that lets
+    assume_sorted_voxels skip the stage-0 argsort at ANY batch size
+    (padded rows map to their frame's filler key, encode stride Z*Y*X+1)."""
+    import jax.numpy as jnp
+
+    Z, Y, X = 6, 10, 10
+    B, V, n = 3, 64, 40
+    rows = []
+    for b in range(B):
+        seen = set()
+        while len(seen) < n:
+            seen.add((int(rng.integers(Z)), int(rng.integers(Y)), int(rng.integers(X))))
+        coords = np.array(sorted(seen), np.int32)
+        full = np.zeros((V, 4), np.int32)
+        full[:, 0] = b  # correct batch index on padded rows too (bev_maps)
+        full[:n, 1:] = coords
+        rows.append(full)
+    coords = np.concatenate(rows)
+    valid = np.concatenate([np.arange(V) < n] * B)
+    st = sp.SparseTensor(
+        feats=jnp.zeros((B * V, 4)), coords=jnp.asarray(coords),
+        valid=jnp.asarray(valid), shape=(Z, Y, X), batch_size=B,
+    )
+    keys = np.asarray(sp.encode_keys(st.coords, st.valid, st.shape, st.batch_size))
+    assert np.all(np.diff(keys.astype(np.int64)) >= 0), "packing not ascending"
+    # and the guarded table then equals the argsort table for any lookup
+    fast = sp.key_table_checked(st)
+    slow = sp.key_table(st)
+    q = sp.encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+    np.testing.assert_array_equal(
+        np.asarray(sp._sorted_lookup(fast.sorted_keys, fast.perm, q)),
+        np.asarray(sp._sorted_lookup(slow.sorted_keys, slow.perm, q)),
+    )

@@ -36,6 +36,9 @@ model = dict(
     cap_conv3=50000,
     cap_conv4=25000,
     cap_extra=25000,
+    # voxels arrive host-sorted (point_pipeline.sort_voxels) -> the backbone
+    # skips its stage-0 argsort; runtime-guarded, safe for unsorted input
+    assume_sorted_voxels=True,
 )
 
 # ---- data -----------------------------------------------------------------
@@ -53,6 +56,8 @@ point_pipeline = dict(
     global_rot_noise=(-0.78539816, 0.78539816),
     global_scale_noise=(0.9, 1.1),
     global_translate_std=0.5,
+    # host-side key sort so the device backbone skips its stage-0 argsort
+    sort_voxels=True,
 )
 
 data = dict(

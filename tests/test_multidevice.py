@@ -244,3 +244,35 @@ def test_batched_pipeline_under_shard_batch(setup):
         np.testing.assert_array_equal(out_p.tid, out_s.tid)
         np.testing.assert_allclose(out_p.ref, out_s.ref, atol=1e-5)
         np.testing.assert_array_equal(out_p.fn, out_s.fn)
+
+
+def test_sorted_voxel_guard_under_sharding(setup):
+    """assume_sorted_voxels (lax.cond sort guard) compiles and matches the
+    plain path when the serving frames are device-sharded — the production
+    configs enable it, so it must hold under SPMD partitioning too."""
+    from shasta_tpu.infer import BatchedScenePipeline, default_tracker_params
+    from shasta_tpu.models import ShastaModel, ShastaConfig
+    import dataclasses
+
+    cfg = setup["cfg"]
+    cfg_sorted = dataclasses.replace(cfg, assume_sorted_voxels=True)
+    model_s = ShastaModel(cfg_sorted)
+    variables = setup["variables"]
+    mesh = make_mesh(8)
+    params = default_tracker_params(max_age=4)
+    keys = ("voxels", "num_points", "coordinates", "voxels_valid", "det_boxes")
+    b = make_batch(cfg, batch_size=B, num_voxels_cap=128, n_dets=cfg.max_obj, seed=5)
+    f = {k: b[k] for k in keys}
+
+    plain = BatchedScenePipeline(
+        model=setup["model"], variables=variables, cls_id=2, params=params, batch=B)
+    guarded = BatchedScenePipeline(
+        model=model_s, variables=variables, cls_id=2, params=params, batch=B)
+
+    n_curr = [cfg.max_obj] * B
+    args = (n_curr, [True] * B, [0.5] * B)
+    out_p = plain.step_frames(f, *args)
+    out_g = guarded.step_frames(shard_batch(f, mesh), *args)
+    np.testing.assert_array_equal(out_p.used, out_g.used)
+    np.testing.assert_array_equal(out_p.tid, out_g.tid)
+    np.testing.assert_allclose(out_p.ref, out_g.ref, atol=1e-5)

@@ -28,16 +28,16 @@ def _accumulate(gt_frames, hyp_frames, score_cutoff, dist_threshold):
     tp_scores = []
     for gt, hyp in zip(gt_frames, hyp_frames):
         hyp_f = [h for h in hyp if h["score"] >= score_cutoff]
-        before = acc.num_matches
-        acc.update(
+        matched = acc.update(
             [g["id"] for g in gt],
             [g["center"] for g in gt] if gt else np.zeros((0, 2)),
             [h["id"] for h in hyp_f],
             [h["center"] for h in hyp_f] if hyp_f else np.zeros((0, 2)),
         )
-        # note: per-frame TP scores only needed on the full pass
-        if score_cutoff == -np.inf and acc.num_matches > before:
-            tp_scores.extend([h["score"] for h in hyp_f])
+        # TP scores (matched hypotheses only) drive the recall cutoffs on
+        # the full pass (nuscenes devkit accumulate: match_data['conf'])
+        if score_cutoff == -np.inf:
+            tp_scores.extend(hyp_f[hi]["score"] for hi in matched)
     return acc, tp_scores
 
 

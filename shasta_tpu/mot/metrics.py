@@ -76,6 +76,7 @@ class MOTAccumulator:
         self.num_fp += H - len(used_h)
         # persist pairings for ids seen this frame; keep older pairings too
         self._last_match.update(new_match)
+        return sorted(matched_g.values())  # matched hypothesis indices
 
     @property
     def mota(self) -> float:

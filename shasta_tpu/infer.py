@@ -318,22 +318,26 @@ class MultiClassScenePipeline:
 
         self._bev = lambda frame: bev_map(trunk_vars, frame)
 
-        self._heads = {}
-        for name in names:
-            model, variables = self.class_heads[name]
+        # One compiled head program per UNIQUE model config: classes with
+        # equal max_obj (car/ped=90, truck/trailer=60, moto/bicycle=50)
+        # share shapes and therefore a program — 4 compilations instead of
+        # 7 at release scale (weights stay per-class call arguments).
+        programs: dict = {}
+
+        def make_head(model):
+            cfg = model.cfg
 
             @jax.jit
             def head(variables, bev, prev_boxes, curr_boxes, prev_feat,
-                     n_prev, n_curr, _model=model):
+                     n_prev, n_curr):
                 from .core.bilinear import sample_bev_features
                 from .core.boxes import box_points_5
 
-                cfg = _model.cfg
                 pts = box_points_5(curr_boxes[:, :, :7])
                 curr_feat = sample_bev_features(
                     bev, pts, cfg.pc_start, cfg.voxel_size, cfg.out_stride
                 )
-                m1, m2 = _model.apply(
+                m1, m2 = model.apply(
                     variables, prev_boxes, curr_boxes, prev_feat, curr_feat,
                     method=ShastaModel.affinity_step,
                 )
@@ -344,7 +348,14 @@ class MultiClassScenePipeline:
                 )
                 return curr_feat, dec
 
-            self._heads[name] = head
+            return head
+
+        self._heads = {}
+        for name in names:
+            model, variables = self.class_heads[name]
+            if model.cfg not in programs:
+                programs[model.cfg] = make_head(model)
+            self._heads[name] = programs[model.cfg]
         self.reset()
 
     def reset(self):

@@ -57,3 +57,23 @@ def test_multiclass_shared_trunk(rng):
     ids1 = set(out1["car"][0][out1["car"][1]]) | set(out1["bus"][0][out1["bus"][1]])
     all_ids = list(out1["car"][0][out1["car"][1]]) + list(out1["bus"][0][out1["bus"][1]])
     assert len(ids1) == len(all_ids)
+
+
+def test_equal_configs_share_head_programs():
+    """Classes with identical model configs share ONE jitted head program
+    (4 compilations instead of 7 at release scale: car/ped, truck/trailer,
+    moto/bicycle pair up)."""
+    from shasta_tpu.infer import MultiClassScenePipeline, default_tracker_params
+
+    cfg90 = _mini_cfg(6)
+    cfg50 = _mini_cfg(5)
+    car, ped, bus = ShastaModel(cfg90), ShastaModel(cfg90), ShastaModel(cfg50)
+    b = make_batch(cfg90, 1, 512, n_dets=4)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    v = car.init(jax.random.PRNGKey(0), batch, train=False)
+    pipe = MultiClassScenePipeline(
+        class_heads={"car": (car, v), "pedestrian": (ped, v), "bus": (bus, v)},
+        trunk_key="car", params=default_tracker_params(max_age=4),
+    )
+    assert pipe._heads["car"] is pipe._heads["pedestrian"]
+    assert pipe._heads["car"] is not pipe._heads["bus"]

@@ -169,6 +169,25 @@ def test_cached_feature_training_flow(tree):
     log = [json.loads(l) for l in open(work / "train_log.jsonl")]
     assert len(log) >= 1 and all(np.isfinite(e["loss"]) for e in log)
 
+    # multi-config mode: ONE shared trunk pass per frame, per-class subdirs
+    cfg_bus = tmp / "micro_bus_cache.py"
+    cfg_bus.write_text(
+        open(tree["cfg"]).read().replace('det_type = ["car"]', 'det_type = ["bus"]')
+    )
+    multi_out = tmp / "feat_cache_multi"
+    _run([
+        "tools/cache_features.py", "--config", f"{tree['cfg']},{cfg_bus}",
+        "--cpu", "--split", "train", "--out", str(multi_out), "--batch", "2",
+    ])
+    for stem in ("micro_car", "micro_bus_cache"):
+        files = sorted(os.listdir(multi_out / stem))
+        assert files == ["samp0.npz", "samp1.npz", "samp2.npz"], (stem, files)
+    # the car descriptors must equal the single-config run's (same trunk,
+    # same frames, same sampling)
+    a = np.load(cache / "samp1.npz")["feat"]
+    b = np.load(multi_out / "micro_car" / "samp1.npz")["feat"]
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
 
 def test_track_multiclass(tree):
     """Shared-trunk multi-class serving over the micro dataroot: two class

@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="configs/nusc/car.py")
+    ap.add_argument("--config", default="configs/nusc/car.py",
+                    help="one config, or comma-separated per-class configs; "
+                         "with several, the (shared, frozen) trunk runs ONCE "
+                         "per frame and every class samples its descriptors "
+                         "from the same BEV map -> {out}/{config_stem}/")
     ap.add_argument("--checkpoint", default=None,
                     help="trunk checkpoint (bev_map or full model); random init if absent")
     ap.add_argument("--split", default="train")
@@ -54,49 +58,84 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from train import build_model
 
-    cfg = Config.fromfile(args.config)
-    model, mc = build_model(cfg)
-    pp = dict(cfg.point_pipeline)
-    pp["shuffle_points"] = False
-    split_cfg = dict(cfg.data[args.split])
-    split_cfg["test_mode"] = True  # descriptors need no GT / augmentation
-    split_cfg.pop("labels_path", None)
-    ds = NuScenesTrackDataset(
-        **split_cfg, det_type=list(cfg.det_type), max_objects=cfg.max_objects,
-        pipeline=PointPipelineConfig(**pp),
-    )
+    config_paths = args.config.split(",")
+    multi = len(config_paths) > 1
 
-    init_np = make_batch(mc, batch_size=1, num_voxels_cap=pp["max_voxels"], n_dets=4)
+    entries = []  # (stem, model, box_dataset, out_dir)
+    vox_ds = None
+    pp0 = None
+    for cp in config_paths:
+        cfg = Config.fromfile(cp)
+        model, mc = build_model(cfg)
+        pp = dict(cfg.point_pipeline)
+        pp["shuffle_points"] = False
+        split_cfg = dict(cfg.data[args.split])
+        split_cfg["test_mode"] = True  # descriptors need no GT / augmentation
+        split_cfg.pop("labels_path", None)
+        kw = dict(
+            **split_cfg, det_type=list(cfg.det_type),
+            max_objects=cfg.max_objects, pipeline=PointPipelineConfig(**pp),
+        )
+        if vox_ds is None:
+            vox_ds = NuScenesTrackDataset(**kw)
+            pp0 = pp
+        stem = os.path.basename(cp)[:-3]
+        out_dir = os.path.join(args.out, stem) if multi else args.out
+        entries.append((stem, model, NuScenesTrackDataset(**kw, load_points=False), out_dir))
+        os.makedirs(out_dir, exist_ok=True)
+
+    trunk_model = entries[0][1]
+    init_np = make_batch(trunk_model.cfg, batch_size=1,
+                         num_voxels_cap=pp0["max_voxels"], n_dets=4)
     one = {k: jnp.asarray(v) for k, v in init_np.items()}
-    variables = model.init(jax.random.PRNGKey(0), one, train=False)
+    variables = trunk_model.init(jax.random.PRNGKey(0), one, train=False)
     if args.checkpoint:
         variables = merge_pretrained(variables, load_checkpoint(args.checkpoint))
         print(f"loaded {args.checkpoint}")
 
     @jax.jit
-    def feats(variables, frame):
-        return model.apply(
-            variables, frame, train=False, method=ShastaModel.frame_features
+    def bev_of(variables, frame):
+        return trunk_model.apply(
+            variables, frame, train=False, method=ShastaModel.bev_single
         )
 
-    os.makedirs(args.out, exist_ok=True)
-    keys = ("voxels", "num_points", "coordinates", "voxels_valid", "det_boxes")
-    n = len(ds)
+    def _sample(bev, boxes, _cfg_key: int):
+        # one program per distinct (pc_start, voxel_size, stride, max_obj)
+        from shasta_tpu.core.bilinear import sample_bev_features
+        from shasta_tpu.core.boxes import box_points_5
+
+        cfg = entries[_cfg_key][1].cfg
+        pts = box_points_5(boxes[:, :, :7])
+        return sample_bev_features(bev, pts, cfg.pc_start, cfg.voxel_size,
+                                   cfg.out_stride)
+
+    sample = jax.jit(_sample, static_argnames=("_cfg_key",))
+
+    vox_keys = ("voxels", "num_points", "coordinates", "voxels_valid", "det_boxes")
+    n = len(vox_ds)
     B = args.batch
     for start in range(0, n, B):
-        group = [ds[i] for i in range(start, min(start + B, n))]
-        # pad the trailing group to the compiled batch size
+        idxs = list(range(start, min(start + B, n)))
+        group = [vox_ds[i] for i in idxs]
         padded = group + [group[-1]] * (B - len(group))
         batch = collate(padded)
-        frame = {k: jnp.asarray(batch[k]) for k in keys}
-        out = np.asarray(feats(variables, frame))
-        for gi, s in enumerate(group):
-            np.savez_compressed(
-                os.path.join(args.out, s["token"] + ".npz"),
-                feat=out[gi].astype(np.float32),
+        frame = {k: jnp.asarray(batch[k]) for k in vox_keys}
+        bev = bev_of(variables, frame)  # ONE trunk pass for all classes
+        for ei, (stem, model, box_ds, out_dir) in enumerate(entries):
+            boxes = np.stack([box_ds[i]["det_boxes"] for i in idxs])
+            boxes = np.concatenate(
+                [boxes, np.repeat(boxes[-1:], B - len(idxs), axis=0)]
+            ) if len(idxs) < B else boxes
+            feats = np.asarray(
+                sample(bev, jnp.asarray(boxes, jnp.float32), _cfg_key=ei)
             )
+            for gi, i in enumerate(idxs):
+                np.savez_compressed(
+                    os.path.join(out_dir, group[gi]["token"] + ".npz"),
+                    feat=feats[gi].astype(np.float32),
+                )
         print(f"cached {min(start + B, n)}/{n}", end="\r")
-    print(f"\nwrote {n} descriptor files -> {args.out}")
+    print(f"\nwrote {n} frames x {len(entries)} class(es) -> {args.out}")
 
 
 if __name__ == "__main__":

@@ -79,7 +79,10 @@ def _sorted_lookup(sorted_keys: jnp.ndarray, perm: jnp.ndarray, query: jnp.ndarr
 
         return sorted_lookup_pallas(sorted_keys, perm, query)
     V = sorted_keys.shape[0]
-    pos = jnp.searchsorted(sorted_keys, query.reshape(-1), side="left")
+    # method='sort' replaces XLA's serial binary search (log2(V) rounds of
+    # latency-bound HBM gathers — measured 414 ms for the stage-0 build on
+    # TPU v5e) with one fused sort of [keys; queries] (~49 ms same shapes).
+    pos = jnp.searchsorted(sorted_keys, query.reshape(-1), side="left", method="sort")
     pos = jnp.clip(pos, 0, V - 1)
     q = query.reshape(-1)
     found = (sorted_keys[pos] == q) & (q != SENTINEL)

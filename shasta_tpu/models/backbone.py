@@ -138,7 +138,7 @@ class SparseBackbone(nn.Module):
     bn_axis_name: str | None = None
     dtype: object = None
     # Route every conv's gather+matmul through the VMEM-resident Pallas
-    # kernel (inference only — no VJP; see ops/pallas/sparse_gather.py).
+    # kernel (inference only — no VJP; see ops/pallas/window_conv.py).
     use_pallas: bool = False
     # Input voxels are host-sorted by linear key per frame. Frame-major
     # packing stays GLOBALLY ascending because each frame's padded rows map

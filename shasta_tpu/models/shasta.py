@@ -54,7 +54,7 @@ class ShastaConfig:
     bn_axis_name: str | None = None
     dtype: Any = None  # jnp.bfloat16 for the trunk matmuls, None = f32
     # Sparse-conv gathers via the VMEM-resident Pallas kernel (inference
-    # only; ops/pallas/sparse_gather.py). A/B this on-chip vs XLA gather.
+    # only; ops/pallas/window_conv.py). A/B this on-chip vs XLA gather.
     use_pallas_gather: bool = False
     # Voxels arrive host-sorted by linear key per frame (PointPipelineConfig
     # sort_voxels) -> the backbone skips its stage-0 argsort (any batch

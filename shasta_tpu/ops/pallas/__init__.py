@@ -1,1 +1,1 @@
-from .sparse_gather import subm_conv_pallas  # noqa: F401
+from .window_conv import windowed_gather_matmul, windowed_lookup  # noqa: F401

@@ -1,0 +1,329 @@
+"""Pallas TPU kernels for the sparse-conv hot path: windowed one-hot
+gather-conv and a cursor-walk sorted lookup.
+
+Replaces the two slowest XLA ops in the backbone (the spconv substitute
+for det3d/models/backbones/scn.py), as measured on TPU v5e:
+
+- `jnp.searchsorted` (even method='sort'): 49 ms for one stage-0 neighbor
+  build (120k x 27 queries) — sort/scatter dominated.
+- the (M, K)-row HBM gather feeding the im2col matmul: ~5.7 ns/row
+  latency-bound (17 ms per stage-0 subm conv).
+
+Both kernels exploit the backbone's sorted-table invariant: feature/key
+tables are ascending by linear voxel key, and each tap's query keys are
+the table keys plus a constant offset — so queries are monotone per tap
+and any 128 consecutive outputs touch one narrow contiguous WINDOW of
+the table. The whole per-stage table fits in VMEM (<= 8 MB), so:
+
+- `windowed_lookup`: the key table stays VMEM-resident; a per-tap SMEM
+  cursor walks forward across output tiles (TPU grid steps run in
+  order), and each tile's positions are computed with a (128, W)
+  compare+reduce against a dynamically sliced window — no HBM gather,
+  no sort. Misses return V like the XLA path.
+- `windowed_gather_matmul`: the feature table stays VMEM-resident; each
+  tile slices a (W, C) window per tap with `pl.ds` and extracts rows as
+  a ONE-HOT MATMUL on the MXU, composed with the conv weight matmul.
+
+Correctness never depends on the invariant: the lookup kernel emits
+per-tile overflow flags (query outside its window — e.g. an unsorted
+table) and the conv wrapper computes window spans in plain vector math;
+either triggers a lax.cond fallback to the exact XLA path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SENTINEL = jnp.iinfo(jnp.int32).max
+TILE = 128  # output rows per grid step
+W_CONV = 256  # feature window per tile
+# Largest feature table kept VMEM-resident (in occupied-vreg bytes — a
+# (N, C<128) array burns full 128-lane vregs); bigger tables use the XLA
+# path. The kernels request a 100 MB scoped-vmem budget, verified live on
+# v5e with a 62 MB stage-0 table.
+VMEM_TABLE_BYTES = 80 * 1024 * 1024
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# --------------------------------------------------------------------------
+# cursor-walk sorted lookup
+# --------------------------------------------------------------------------
+
+
+WIDE = 3  # widened key rows: row r holds keys[128 r : 128 r + 384]
+MAX_HOPS = 64  # window hops per tile before flagging the XLA fallback
+
+
+def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int):
+    """grid (T,). q_ref (TILE, K) int32 queries (monotone per tap column);
+    keys_ref / perm_ref (R, WIDE*128): WIDENED rows of the ascending key
+    array and its argsort permutation, offset by one GUARD element
+    (INT32_MIN) so row r covers flat key positions [128r - 1, 128r + 383)
+    and lane 0 always holds the key just BEFORE the window — making the
+    low-side overflow check exact. A tap's window fetch is ONE dynamic
+    row slice in natural lane layout. pos_ref (TILE, K) out: perm[pos],
+    V for miss, -1 when the tile overflowed its window (wrapper falls
+    back). cursors: SMEM (K,) per-tap flat positions walked forward
+    across grid steps (queries are monotone per tap)."""
+    K = q_ref.shape[1]
+    W = WIDE * TILE
+    R = keys_ref.shape[0]
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        for k in range(K):
+            cursors[k] = 0
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, W), 1)
+    stride = (WIDE - 1) * TILE  # flat positions advanced per hop
+    for k in range(K):
+        q = q_ref[:, k]  # (TILE,)
+        real = q != SENTINEL
+        r0 = jnp.minimum(cursors[k] // TILE, R - 1)
+
+        # HOP LOOP: LiDAR density shifts between a tap's query band and
+        # its key band, so one window can't bound the span. Windows at
+        # rows r0 + (WIDE-1) h tile the flat key range contiguously
+        # ([128 r - 1, 128 r + 383), 256-position stride, 128 overlap);
+        # a query counts lanes [0, 256) of every window it lies beyond
+        # and all 384 lanes of its final window — the hop counts sum to
+        # exactly pos - (128 r0 - 1) for arbitrary spans.
+        def body(state):
+            h, cnt, fval, fnd_i, active_i = state  # masks carried as int32
+            fnd = fnd_i > 0
+            active = active_i > 0
+            r = jnp.minimum(r0 + (WIDE - 1) * h, R - 1)
+            row = keys_ref[pl.ds(r, 1), :]  # (1, W)
+            beyond = active & (q > row[0, W - 1])
+            final = active & ~beyond
+            lt = row < q[:, None]  # (TILE, W)
+            use = (beyond[:, None] & (lane < stride)) | final[:, None]
+            cnt = cnt + jnp.sum((lt & use).astype(jnp.int32), axis=1)
+            # the match (if any) lies in the final window; its lane is
+            # the count of smaller keys within the FULL window
+            hit = jnp.any(row == q[:, None], axis=1) & final
+            loc = jnp.sum(lt.astype(jnp.int32), axis=1)
+            prow = perm_ref[pl.ds(r, 1), :].astype(jnp.float32)
+            sel = jnp.where(lane == loc[:, None], prow, 0.0)
+            pv = jnp.sum(sel, axis=1).astype(jnp.int32)
+            fval = jnp.where(hit & ~fnd, pv, fval)
+            return (h + 1, cnt, fval, (fnd | hit).astype(jnp.int32),
+                    beyond.astype(jnp.int32))
+
+        def cond(state):
+            h, _, _, _, active_i = state
+            return jnp.any(active_i > 0) & (h < MAX_HOPS)
+
+        zero = jnp.zeros((TILE,), jnp.int32)
+        state = (jnp.int32(0), zero, zero, zero, real.astype(jnp.int32))
+        h, cnt, fval, fnd_i, active_i = jax.lax.while_loop(cond, body, state)
+        fnd = fnd_i > 0
+        active = active_i > 0
+
+        # flag for XLA fallback: a real query at/before the first
+        # window's leading guard key (non-monotone input landed behind
+        # the cursor), or the hop cap was exhausted
+        row0 = keys_ref[pl.ds(r0, 1), :]
+        bad = jnp.any(real & (q <= row0[0, 0])) | jnp.any(active)
+        res = jnp.where(fnd, fval, V)
+        pos_ref[:, k] = jnp.where(bad, -1, res)
+        cursors[k] = jnp.maximum(
+            cursors[k],
+            jnp.minimum(
+                r0 * TILE - 1 + jnp.max(jnp.where(real, cnt, 0)), V
+            ),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("V", "interpret"))
+def _lookup_call(queries, keys_wide, perm_wide, V: int, interpret: bool):
+    Mp, K = queries.shape
+    T = Mp // TILE
+    return pl.pallas_call(
+        functools.partial(_lookup_kernel, V=V),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((TILE, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, K), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, K), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(queries, keys_wide, perm_wide)
+
+
+def _widen(flat: jnp.ndarray, R: int) -> jnp.ndarray:
+    """(128 R + 2*TILE,) -> (R, WIDE*128) rows of overlapping windows —
+    pure slices + reshapes, no gather."""
+    parts = [
+        flat[i * TILE: i * TILE + R * TILE].reshape(R, TILE)
+        for i in range(WIDE)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def windowed_lookup(sorted_keys, perm, query, interpret: bool | None = None):
+    """Drop-in for ops.sparse._sorted_lookup on 2D per-tap-monotone queries.
+
+    sorted_keys (V,) ascending with SENTINEL tail; perm (V,) argsort
+    indices; query (M, K) int32. Returns (M, K) int32 in [0, V], V = miss.
+    Exact for any input: tiles that violate the window assumption flag an
+    overflow and the whole lookup falls back to the XLA path.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    V = sorted_keys.shape[0]
+    M, K = query.shape
+    Mp = ((M + TILE - 1) // TILE) * TILE
+    q = jnp.full((Mp, K), SENTINEL, jnp.int32).at[:M].set(query.astype(jnp.int32))
+    R = (V + TILE - 1) // TILE + 1
+    flat_len = R * TILE + 2 * TILE
+    # leading GUARD element: widened row r's lane 0 = keys[128r - 1], the
+    # key just before the window (INT32_MIN for r = 0) — see kernel
+    kf = jnp.full((flat_len,), SENTINEL, jnp.int32)
+    kf = kf.at[0].set(jnp.iinfo(jnp.int32).min)
+    kf = kf.at[1: V + 1].set(sorted_keys.astype(jnp.int32))
+    pf = jnp.zeros((flat_len,), jnp.int32).at[1: V + 1].set(
+        perm.astype(jnp.int32)
+    )
+    pos = _lookup_call(q, _widen(kf, R), _widen(pf, R), V=V,
+                       interpret=bool(interpret))
+
+    def xla_path(_):
+        p = jnp.searchsorted(sorted_keys, query.reshape(-1), side="left",
+                             method="sort")
+        p = jnp.clip(p, 0, V - 1)
+        qf = query.reshape(-1)
+        found = (sorted_keys[p] == qf) & (qf != SENTINEL)
+        return jnp.where(found, perm[p], V).astype(jnp.int32).reshape(M, K)
+
+    return jax.lax.cond(
+        jnp.any(pos < 0), xla_path, lambda _: pos[:M], None
+    )
+
+
+# --------------------------------------------------------------------------
+# windowed one-hot gather-conv
+# --------------------------------------------------------------------------
+
+
+def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int):
+    """grid (T,). pos_ref (TILE, K) int32 gather rows (>= V is a miss);
+    tab_ref (Vp, C) resident features; w_ref (K, C, Co); out (TILE, Co).
+
+    Per tap: slice a (W, C) window of the resident table at the tile's
+    min found position (dynamic pl.ds) and extract rows with a one-hot
+    matmul on the MXU — no data-dependent addressing outside the MXU."""
+    K = pos_ref.shape[1]
+    dt = tab_ref.dtype
+    C = tab_ref.shape[1]
+    Vp = tab_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, W), 1)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for k in range(K):
+        p = pos_ref[:, k]
+        found = p < V
+        lo = jnp.min(jnp.where(found, p, jnp.int32(2**31 - 1)))
+        base = jnp.clip(jnp.where(jnp.any(found), lo, 0), 0, Vp - W)
+        win = tab_ref[pl.ds(base, W), :]  # (W, C)
+        loc = jnp.where(found, p - base, W)
+        onehot = (loc[:, None] == lanes).astype(dt)  # (TILE, W)
+        rows = jax.lax.dot_general(
+            onehot, win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + jax.lax.dot_general(
+            rows.astype(dt), w_ref[k], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("V", "interpret"))
+def _conv_call(pos, tab_pad, weight, V: int, interpret: bool):
+    Mp, K = pos.shape
+    Co = weight.shape[2]
+    T = Mp // TILE
+    return pl.pallas_call(
+        functools.partial(_conv_kernel, W=W_CONV, V=V),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((TILE, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, Co), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Co), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(pos, tab_pad, weight)
+
+
+def windowed_gather_matmul(
+    feats: jnp.ndarray,  # (V, C) sorted-table features
+    gather: jnp.ndarray,  # (M, K) int32 rows, V = miss; per-tap ~monotone
+    weight: jnp.ndarray,  # (K, C, Co)
+    compute_dtype=None,
+    interpret: bool | None = None,
+):
+    """Drop-in for the XLA im2col gather+matmul (ops.sparse._gathered_matmul).
+
+    Returns (M, Co) f32. A per-tile span check (plain vector math on the
+    index array) lax.cond-selects between the Pallas kernel and the exact
+    XLA gather, so unsorted tables degrade gracefully.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    V, C = feats.shape
+    M, K = gather.shape
+    Co = weight.shape[2]
+    dt = compute_dtype or feats.dtype
+
+    def xla_path(_):
+        padded = jnp.concatenate([feats, jnp.zeros((1, C), feats.dtype)], axis=0)
+        gathered = padded[gather]
+        return jax.lax.dot_general(
+            gathered.reshape(M, K * C).astype(dt),
+            weight.reshape(K * C, -1).astype(dt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    itemsize = jnp.dtype(dt).itemsize
+    if (V + W_CONV) * C * itemsize * (128 // min(C, 128)) > VMEM_TABLE_BYTES:
+        # (N, C<128) arrays occupy full 128-lane vregs in VMEM
+        return xla_path(None)
+
+    Mp = ((M + TILE - 1) // TILE) * TILE
+    T = Mp // TILE
+    g = jnp.full((Mp, K), V, jnp.int32).at[:M].set(gather)
+    gt = g.reshape(T, TILE, K)
+    ft = gt < V
+    lo = jnp.min(jnp.where(ft, gt, jnp.iinfo(jnp.int32).max), axis=1)  # (T, K)
+    hi = jnp.max(jnp.where(ft, gt, -1), axis=1)
+    ok = jnp.all(jnp.where(hi >= 0, hi - jnp.minimum(lo, hi) < W_CONV, True))
+
+    tab_pad = jnp.zeros((V + W_CONV, C), dt).at[:V].set(feats.astype(dt))
+    w = weight.astype(dt)
+
+    def pallas_path(_):
+        return _conv_call(g, tab_pad, w, V=V, interpret=bool(interpret))[:M]
+
+    return jax.lax.cond(ok, pallas_path, xla_path, None)

@@ -1,56 +1,100 @@
-"""Pallas sparse-gather kernel vs the XLA reference path (interpret mode)."""
+"""Windowed Pallas kernels vs the XLA reference paths (interpret mode).
+
+ops/pallas/window_conv.py replaces the backbone's two slowest XLA ops on
+TPU (searchsorted index builds and the im2col row gather). These tests run
+the kernels in interpreter mode on CPU; the exactness contract (automatic
+XLA fallback on window overflow) is covered by the adversarial cases.
+"""
 import numpy as np
 import jax.numpy as jnp
 
 from shasta_tpu.ops import sparse as sp
-from shasta_tpu.ops.pallas.sparse_gather import subm_conv_pallas
+from shasta_tpu.ops.pallas.window_conv import (
+    SENTINEL,
+    windowed_gather_matmul,
+    windowed_lookup,
+)
 from test_sparse import _make_sparse
 
 
-def test_pallas_subm_matches_xla(rng):
-    st, coords, feats = _make_sparse(rng, B=2, shape=(6, 10, 10), n=40, C=4, cap=64)
-    Co = 8
-    w = rng.normal(size=(27, 4, Co)).astype(np.float32) * 0.2
-    idx = sp.build_subm_index(st)
+def _xla_ref(feats, gather, weight):
+    V, C = feats.shape
+    M, K = gather.shape
+    padded = np.concatenate([feats, np.zeros((1, C), feats.dtype)], axis=0)
+    return padded[gather].reshape(M, K * C) @ weight.reshape(K * C, -1)
 
-    ref = sp.subm_conv_apply(st, idx, jnp.asarray(w))
 
-    got = subm_conv_pallas(
-        st.feats, idx.gather, jnp.asarray(w), tile=16, interpret=True
+def _monotone_gather(rng, V, M, K, span=40, miss=0.1):
+    g = np.empty((M, K), np.int64)
+    T = max(1, M // 128)
+    for k in range(K):
+        starts = np.sort(rng.integers(0, max(1, V - span - 1), size=T))
+        within = np.sort(rng.integers(0, span, size=(T, 128)), axis=1)
+        col = (starts[:, None] + within).reshape(-1)[:M]
+        g[:, k] = np.minimum(col, V - 1)
+    g[rng.random((M, K)) < miss] = V
+    return g.astype(np.int32)
+
+
+def test_windowed_conv_matches_xla(rng):
+    V, M, K, C, Co = 2048, 512, 5, 16, 8
+    feats = rng.normal(size=(V, C)).astype(np.float32)
+    w = (rng.normal(size=(K, C, Co)) * 0.2).astype(np.float32)
+    g = _monotone_gather(rng, V, M, K)
+    out = np.asarray(
+        windowed_gather_matmul(jnp.asarray(feats), jnp.asarray(g), jnp.asarray(w))
     )
-    got = jnp.where(st.valid[:, None], got, 0.0)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref.feats), atol=1e-4)
+    np.testing.assert_allclose(out, _xla_ref(feats, g, w), atol=1e-4)
 
 
-def test_pallas_handles_misses(rng):
-    # all-miss gather rows produce zeros
-    V, C, K, Co = 32, 4, 27, 6
-    feats = jnp.asarray(rng.normal(size=(V, C)).astype(np.float32))
-    gather = jnp.full((V, K), V, jnp.int32)  # every tap missing
-    w = jnp.asarray(rng.normal(size=(K, C, Co)).astype(np.float32))
-    out = subm_conv_pallas(feats, gather, w, tile=16, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
+def test_windowed_conv_fallback_on_random_indices(rng):
+    """Scattered (non-monotone) indices exceed the window span -> the
+    wrapper must fall back to the exact XLA path."""
+    V, M, K, C, Co = 2048, 512, 5, 16, 8
+    feats = rng.normal(size=(V, C)).astype(np.float32)
+    w = (rng.normal(size=(K, C, Co)) * 0.2).astype(np.float32)
+    g = rng.integers(0, V + 1, size=(M, K)).astype(np.int32)
+    out = np.asarray(
+        windowed_gather_matmul(jnp.asarray(feats), jnp.asarray(g), jnp.asarray(w))
+    )
+    np.testing.assert_allclose(out, _xla_ref(feats, g, w), atol=1e-4)
 
 
-def test_pallas_strided_matches_xla(rng):
-    """Strided conv through the kernel: gather rows != table rows."""
-    from shasta_tpu.ops.pallas.sparse_gather import gathered_conv_pallas
+def test_windowed_conv_all_miss(rng):
+    V, M, K, C, Co = 256, 128, 27, 16, 6
+    feats = rng.normal(size=(V, C)).astype(np.float32)
+    w = rng.normal(size=(K, C, Co)).astype(np.float32)
+    g = np.full((M, K), V, np.int32)
+    out = np.asarray(
+        windowed_gather_matmul(jnp.asarray(feats), jnp.asarray(g), jnp.asarray(w))
+    )
+    np.testing.assert_allclose(out, 0.0, atol=1e-7)
 
+
+def test_sparse_conv_apply_pallas_flag(rng):
+    """subm/strided conv through use_pallas match the XLA results."""
     st, coords, feats = _make_sparse(rng, B=2, shape=(6, 10, 10), n=40, C=4, cap=64)
-    Co = 8
-    w = rng.normal(size=(27, 4, Co)).astype(np.float32) * 0.2
-    plan = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1), max_out=48)
+    w = jnp.asarray(rng.normal(size=(27, 4, 8)).astype(np.float32) * 0.2)
+    idx = sp.build_subm_index(st, use_pallas=True)
+    idx_ref = sp.build_subm_index(st)
+    np.testing.assert_array_equal(np.asarray(idx.gather), np.asarray(idx_ref.gather))
 
-    ref = sp.strided_conv_apply(st, plan, jnp.asarray(w))
-    got = gathered_conv_pallas(st.feats, plan.gather, jnp.asarray(w),
-                               tile=16, interpret=True)
-    got = jnp.where(plan.valid[:, None], got, 0.0)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref.feats), atol=1e-4)
+    ref = sp.subm_conv_apply(st, idx_ref, w)
+    got = sp.subm_conv_apply(st, idx, w, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4)
+
+    plan = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                 max_out=48, use_pallas=True)
+    plan_ref = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1), max_out=48)
+    np.testing.assert_array_equal(np.asarray(plan.gather), np.asarray(plan_ref.gather))
+    ref = sp.strided_conv_apply(st, plan_ref, w)
+    got = sp.strided_conv_apply(st, plan, w, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4)
 
 
 def test_backbone_pallas_flag_matches_xla(rng):
-    """ShastaConfig.use_pallas_gather routes EVERY backbone conv through
-    the kernel; the BEV map must match the XLA-gather path."""
+    """ShastaConfig.use_pallas_gather routes EVERY backbone conv + index
+    build through the kernels; the BEV map must match the XLA path."""
     import jax
 
     from shasta_tpu.data.synthetic import make_batch
@@ -74,29 +118,78 @@ def test_backbone_pallas_flag_matches_xla(rng):
     )
 
 
-def test_pallas_sorted_lookup_matches_xla(rng):
-    """VMEM binary-search lookup == jnp.searchsorted path, including
-    misses, SENTINEL queries, duplicate keys, and edge positions."""
-    from shasta_tpu.ops.pallas.sparse_gather import sorted_lookup_pallas
-
-    V = 200
-    keys = np.sort(rng.choice(5000, size=V - 20, replace=False)).astype(np.int32)
-    keys = np.concatenate([keys, np.full(20, sp.SENTINEL, np.int32)])  # tail
+def test_windowed_lookup_matches_xla(rng):
+    """Cursor-walk lookup == searchsorted path: hits, misses, SENTINEL
+    queries, duplicate (filler) keys, edge positions, non-identity perm."""
+    V = 512
+    nval = V - 40
+    keys = np.sort(rng.choice(5000, size=nval, replace=False)).astype(np.int32)
+    keys = np.concatenate([keys, np.full(40, 4999, np.int32)])  # dup filler tail
+    keys = np.sort(keys)
     perm = rng.permutation(V).astype(np.int32)
 
-    q = np.concatenate([
-        keys[rng.integers(0, V - 20, 300)],            # hits
-        rng.integers(0, 5000, 200).astype(np.int32),   # mixed hits/misses
-        np.array([0, 4999, sp.SENTINEL], np.int32),    # edges + sentinel
-    ]).reshape(-1, 1)
+    # monotone per-tap queries (the contract), incl. sentinels + edges
+    qs = []
+    for k in range(9):
+        q = np.sort(keys[rng.integers(0, nval, 300)].astype(np.int64)
+                    + rng.integers(-2, 3, 300)).astype(np.int32)
+        q[rng.random(300) < 0.05] = SENTINEL
+        qs.append(q)
+    q = np.stack(qs, 1)
+    q[0, 0] = 0
     want = sp._sorted_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q))
-    got = sorted_lookup_pallas(jnp.asarray(keys), jnp.asarray(perm),
-                               jnp.asarray(q), tile=64, interpret=True)
+    got = windowed_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
-    # multi-tap shape (M, 27) like the real index build
-    q27 = rng.integers(0, 5000, (50, 27)).astype(np.int32)
-    want = sp._sorted_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q27))
-    got = sorted_lookup_pallas(jnp.asarray(keys), jnp.asarray(perm),
-                               jnp.asarray(q27), tile=16, interpret=True)
+
+def test_windowed_conv_wide_spans(rng):
+    """Tiles whose position span exceeds one window (density shifts)
+    trigger the exact XLA fallback; results stay correct."""
+    V, M, K, C, Co = 8192, 256, 3, 16, 8
+    feats = rng.normal(size=(V, C)).astype(np.float32)
+    w = (rng.normal(size=(K, C, Co)) * 0.2).astype(np.float32)
+    g = np.empty((M, K), np.int64)
+    for k in range(K):
+        # monotone but stretched: ~1000 positions per 128-row tile
+        g[:, k] = np.sort(rng.integers(0, V, size=M))
+    g[rng.random((M, K)) < 0.1] = V
+    g = g.astype(np.int32)
+    out = np.asarray(
+        windowed_gather_matmul(jnp.asarray(feats), jnp.asarray(g), jnp.asarray(w))
+    )
+    np.testing.assert_allclose(out, _xla_ref(feats, g, w), atol=1e-4)
+
+
+def test_windowed_lookup_multi_hop_density_shift(rng):
+    """A dense query band mapping into a sparse key band (and vice versa)
+    forces multi-window hops per tile; results must stay exact without
+    the fallback path."""
+    V = 4096
+    # keys: dense cluster then sparse tail (LiDAR ground plane pattern)
+    dense = np.sort(rng.choice(4000, size=3000, replace=False))
+    sparse = np.sort(rng.choice(np.arange(10_000, 500_000), size=V - 3000,
+                                replace=False))
+    keys = np.concatenate([dense, sparse]).astype(np.int32)
+    perm = rng.permutation(V).astype(np.int32)
+    qs = []
+    for k in range(5):
+        # queries concentrated in the sparse band -> huge span per tile
+        q = np.sort(keys[rng.integers(2900, V, 400)].astype(np.int64)
+                    + rng.integers(-1, 2, 400)).astype(np.int32)
+        qs.append(q)
+    q = np.stack(qs, 1)
+    want = sp._sorted_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q))
+    got = windowed_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_windowed_lookup_fallback_on_unsorted(rng):
+    """Unsorted query columns overflow the cursor window -> exact XLA
+    fallback."""
+    V = 512
+    keys = np.sort(rng.choice(50000, size=V, replace=False)).astype(np.int32)
+    perm = np.arange(V, dtype=np.int32)
+    q = rng.integers(0, 50000, size=(300, 9)).astype(np.int32)
+    want = sp._sorted_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q))
+    got = windowed_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -57,6 +57,9 @@ def main():
     cfg = ShastaConfig(
         max_obj=90, cap_conv2=50000, cap_conv3=25000, cap_conv4=12000,
         cap_extra=12000, assume_sorted_voxels=True,
+        use_pallas_gather="--pallas" in sys.argv,
+        dtype=__import__("jax.numpy", fromlist=["bfloat16"]).bfloat16
+        if "--bf16" in sys.argv else None,
     )
     model = ShastaModel(cfg)
     batch = make_batch(cfg, batch_size=1, num_voxels_cap=V, n_dets=N_DETS, seed=0)

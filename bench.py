@@ -6,14 +6,14 @@ budget each) -> BEV descriptor sampling -> affinity vs carried prev
 descriptors (max_obj=90) -> vectorized decision rules + FN injection ->
 on-device scan-tracker step. 60 real detections of 90 padded per frame.
 
-Default shape is the DESIGNED throughput path: BatchedScenePipeline with 4
-scene lanes advancing together in one XLA program (aggregate frames/s).
-If the batched program fails to build/run (e.g. memory), it falls back to
-the B=1 latency shape and reports that. Flags:
-  --lanes N   scene lanes (default 4 on TPU, 1 on CPU fallback)
-  --b1        force the single-lane latency shape
-  --pallas    route sparse-conv gathers through the VMEM Pallas kernel
-  --bf16      trunk matmuls in bf16 (f32 accumulation)
+Default shape: B=1 latency with the windowed Pallas kernels — the fastest
+measured config on v5e (B=1 pallas 2.94 f/s vs 4-lane pallas 2.79 vs
+4-lane XLA 2.01; at 4 lanes the stage-0/1 conv tables exceed the VMEM
+budget and fall back to XLA row gathers). Flags:
+  --lanes N     scene lanes (default 1; 4-lane packs frames per program)
+  --b1          force the single-lane latency shape
+  --no-pallas   XLA gathers/searchsorted instead of the Pallas kernels
+  --bf16        trunk matmuls in bf16 (f32 accumulation)
 
 This is strictly MORE work per frame than the reference's eval step — which
 recomputes BOTH frames' backbones, downloads the affinity matrices, and
@@ -74,7 +74,7 @@ def _make_cfg(lanes: int):
         cap_conv3=25000 * lanes,
         cap_conv4=12000 * lanes,
         cap_extra=12000 * lanes,
-        use_pallas_gather="--pallas" in sys.argv,
+        use_pallas_gather="--no-pallas" not in sys.argv,
         dtype=jnp.bfloat16 if "--bf16" in sys.argv else None,
         # synthetic frames are key-sorted; skips the stage-0 argsort when
         # one frame is packed per program (B=1 lane), no-op otherwise
@@ -177,7 +177,7 @@ def main():
     from shasta_tpu.models import ShastaModel
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    lanes = 1 if ("--b1" in sys.argv or not on_tpu) else 4
+    lanes = 1
     if "--lanes" in sys.argv:
         lanes = int(sys.argv[sys.argv.index("--lanes") + 1])
     iters = 30 if on_tpu else 3

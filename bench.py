@@ -129,11 +129,16 @@ def _run_batched(model, variables, lanes: int, iters: int) -> float:
     )
     n_curr = [N_DETS] * lanes
     lags = [0.5] * lanes
-    pipe.step_frames(frame, n_curr, [True] * lanes, lags)  # warmup/compile
+    prev = pipe.step_frames(frame, n_curr, [True] * lanes, lags)  # warmup
+    _ = prev.tid
     t0 = time.perf_counter()
+    prev = None
     for _ in range(iters):
         out = pipe.step_frames(frame, n_curr, [False] * lanes, lags)
-    del out
+        if prev is not None:
+            prev.tid  # fetch LAST frame's packed outputs: overlaps compute
+        prev = out
+    prev.tid
     return lanes * iters / (time.perf_counter() - t0)
 
 
@@ -145,11 +150,15 @@ def _run_single(model, variables, iters: int) -> float:
         model=model, variables=variables, cls_id=2,
         params=default_tracker_params(max_age=4),
     )
-    pipe.step_frame(frame, N_DETS, 0.5)  # warmup/compile
+    _ = pipe.step_frame(frame, N_DETS, 0.5).tid  # warmup/compile
     t0 = time.perf_counter()
+    prev = None
     for _ in range(iters):
         out = pipe.step_frame(frame, N_DETS, 0.5)
-    del out
+        if prev is not None:
+            prev.tid  # fetch LAST frame's packed outputs: overlaps compute
+        prev = out
+    prev.tid
     return iters / (time.perf_counter() - t0)
 
 

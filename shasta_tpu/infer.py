@@ -17,7 +17,7 @@ host code formats nuScenes annos from the tiny outputs.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, NamedTuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -45,16 +45,64 @@ def default_tracker_params(max_age: int = 4, merged: bool = True) -> st.TrackerP
     )
 
 
-class StepOutput(NamedTuple):
+class StepOutput:
     """Per-frame pipeline outputs. Det rows [0, N) are the current frame's
     detections; rows [N, 2N) are FN-propagated prev-frame boxes injected as
-    synthetic detections (eval.py:141-148)."""
+    synthetic detections (eval.py:141-148).
 
-    tid: np.ndarray  # (2N,) int — track id per det row
-    used: np.ndarray  # (2N,) bool — row is an active track this frame
-    keep: np.ndarray  # (N,) bool — curr det survives FP elimination
-    ref: np.ndarray  # (2N,) float — tracker-refined score per row
-    fn: np.ndarray  # (N,) bool — prev det n was propagated as an FN row
+    Fields (leading (B,) axis for the batched pipeline):
+      tid (2N,) int32 track id per det row; used (2N,) bool active-track
+      flag; keep (N,) bool FP-elimination survivor; ref (2N,) f32 refined
+      score; fn (N,) bool FN-propagation flag.
+
+    The on-device pipelines return this LAZILY around one packed device
+    array: the device->host fetch (a full RPC round trip on the tunneled
+    TPU) happens on first field access, so issuing the next frame's step
+    before reading these overlaps transfer with compute."""
+
+    __slots__ = ("_packed", "_N", "_np", "_eager")
+
+    def __init__(self, packed=None, N=None, **eager):
+        self._packed = packed
+        self._N = N
+        self._np = None
+        self._eager = eager or None
+
+    def _arr(self) -> np.ndarray:
+        if self._np is None:
+            self._np = np.asarray(self._packed)
+            self._packed = None
+        return self._np
+
+    @property
+    def tid(self) -> np.ndarray:
+        if self._eager is not None:
+            return self._eager["tid"]
+        return self._arr()[..., 0, :].astype(np.int32)
+
+    @property
+    def used(self) -> np.ndarray:
+        if self._eager is not None:
+            return self._eager["used"]
+        return self._arr()[..., 1, :] > 0.5
+
+    @property
+    def ref(self) -> np.ndarray:
+        if self._eager is not None:
+            return self._eager["ref"]
+        return self._arr()[..., 2, :]
+
+    @property
+    def keep(self) -> np.ndarray:
+        if self._eager is not None:
+            return self._eager["keep"]
+        return self._arr()[..., 3, : self._N] > 0.5
+
+    @property
+    def fn(self) -> np.ndarray:
+        if self._eager is not None:
+            return self._eager["fn"]
+        return self._arr()[..., 4, : self._N] > 0.5
 
 
 def _dets_with_fn(boxes, prev_boxes, dec, cls_id):
@@ -130,7 +178,18 @@ class ScenePipeline:
             table, id_count, tid, used, ref = st.step_frame(
                 table, id_count, dets, time_lag, self.params
             )
-            return curr_feat, dec, table, id_count, tid, used, ref
+            # pack every host-bound output into ONE f32 array: through the
+            # remote-TPU relay each device->host fetch is a round trip
+            # (~30 ms), and 5 separate fetches per frame cost more than
+            # the whole on-device step (tids stay exact in f32: < 2^24)
+            packed = jnp.stack([
+                tid.astype(jnp.float32),
+                used.astype(jnp.float32),
+                ref,
+                jnp.pad(dec.keep.astype(jnp.float32), (0, N)),
+                jnp.pad(dec.fn.astype(jnp.float32), (0, N)),
+            ])
+            return curr_feat, packed, table, id_count
 
         self._step = jax.jit(step)
         self.reset()
@@ -147,7 +206,7 @@ class ScenePipeline:
         """frame_np: fixed-shape single-frame batch (B=1). Returns a
         StepOutput (det rows [0, N) = curr dets, [N, 2N) = FN injections)."""
         frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
-        curr_feat, dec, table, id_count, tid, used, ref = self._step(
+        curr_feat, packed, table, id_count = self._step(
             self.variables, frame, self._n_prev, jnp.int32(n_curr),
             self._prev_boxes, self._prev_feat, self._table, self._id_count,
             jnp.float32(time_lag),
@@ -157,13 +216,7 @@ class ScenePipeline:
         self._n_prev = jnp.int32(n_curr)
         self._table = table
         self._id_count = id_count
-        return StepOutput(
-            tid=np.asarray(tid),
-            used=np.asarray(used),
-            keep=np.asarray(dec.keep),
-            ref=np.asarray(ref),
-            fn=np.asarray(dec.fn),
-        )
+        return StepOutput(packed=packed, N=self.model.cfg.max_obj)
 
 
 @dataclass
@@ -237,7 +290,15 @@ class BatchedScenePipeline:
                 m1, m2, n_prev, n_curr, frame["det_boxes"], prev_boxes,
                 tables, id_counts, lags,
             )
-            return curr_feat, tables, id_counts, tid, used, ref, keep, fn
+            # one packed host-bound array (see ScenePipeline.step)
+            packed = jnp.stack([
+                tid.astype(jnp.float32),
+                used.astype(jnp.float32),
+                ref,
+                jnp.pad(keep.astype(jnp.float32), ((0, 0), (0, N))),
+                jnp.pad(fn.astype(jnp.float32), ((0, 0), (0, N))),
+            ], axis=1)  # (B, 5, 2N)
+            return curr_feat, tables, id_counts, packed
 
         self._step = jax.jit(step)
         self.reset()
@@ -265,7 +326,7 @@ class BatchedScenePipeline:
         Returns a StepOutput of batched arrays: tid/used/ref (B, 2N) with
         FN rows at [N, 2N), keep/fn (B, N)."""
         frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
-        curr_feat, tables, id_counts, tid, used, ref, keep, fn = self._step(
+        curr_feat, tables, id_counts, packed = self._step(
             self.variables, frame, jnp.asarray(reset), self._n_prev,
             jnp.asarray(n_curr, jnp.int32), self._prev_boxes, self._prev_feat,
             self._tables, self._id_counts, jnp.asarray(time_lags, jnp.float32),
@@ -275,10 +336,7 @@ class BatchedScenePipeline:
         self._n_prev = jnp.asarray(n_curr, jnp.int32)
         self._tables = tables
         self._id_counts = id_counts
-        return StepOutput(
-            tid=np.asarray(tid), used=np.asarray(used), keep=np.asarray(keep),
-            ref=np.asarray(ref), fn=np.asarray(fn),
-        )
+        return StepOutput(packed=packed, N=self.model.cfg.max_obj)
 
 
 @dataclass

@@ -221,16 +221,20 @@ def windowed_lookup(sorted_keys, perm, query, interpret: bool | None = None):
 # --------------------------------------------------------------------------
 
 
-def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int):
+def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, rows_acc, *, W: int,
+                 V: int, NWIN: int):
     """grid (T,). pos_ref (TILE, K) int32 gather rows (>= V is a miss);
-    tab_ref (Vp, C) resident features; w_ref (K, C, Co); out (TILE, Co).
+    tab_ref (Vp, C) resident features; w_ref (K, C, Co); out (TILE, Co);
+    rows_acc VMEM scratch (TILE, C).
 
     Per tap: slice a (W, C) window of the resident table at the tile's
     min found position (dynamic pl.ds) and extract rows with a one-hot
-    matmul on the MXU — no data-dependent addressing outside the MXU."""
+    matmul on the MXU — no data-dependent addressing outside the MXU.
+    Up to NWIN-1 FOLLOW-UP windows extend the budget for tiles whose
+    span exceeds W (LiDAR density tails); each is guarded by pl.when on
+    a scalar so typical tiles skip them entirely."""
     K = pos_ref.shape[1]
     dt = tab_ref.dtype
-    C = tab_ref.shape[1]
     Vp = tab_ref.shape[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, W), 1)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
@@ -241,25 +245,43 @@ def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int):
         base = jnp.clip(jnp.where(jnp.any(found), lo, 0), 0, Vp - W)
         win = tab_ref[pl.ds(base, W), :]  # (W, C)
         loc = jnp.where(found, p - base, W)
+        loc = jnp.where(loc < W, loc, W)
         onehot = (loc[:, None] == lanes).astype(dt)  # (TILE, W)
-        rows = jax.lax.dot_general(
+        rows_acc[:] = jax.lax.dot_general(
             onehot, win, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        for i in range(1, NWIN):
+            need = jnp.any(found & (p >= base + i * W))
+
+            @pl.when(need)
+            def _(i=i):
+                start = jnp.minimum(base + i * W, Vp - W)
+                wi = tab_ref[pl.ds(start, W), :]
+                li = jnp.where(found, p - start, W)
+                li = jnp.where((li >= 0) & (li < W), li, W)
+                oh = (li[:, None] == lanes).astype(dt)
+                rows_acc[:] += jax.lax.dot_general(
+                    oh, wi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
         acc = acc + jax.lax.dot_general(
-            rows.astype(dt), w_ref[k], (((1,), (0,)), ((), ())),
+            rows_acc[:].astype(dt), w_ref[k], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("V", "interpret"))
-def _conv_call(pos, tab_pad, weight, V: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("V", "W", "NWIN", "interpret"))
+def _conv_call(pos, tab_pad, weight, V: int, W: int, NWIN: int,
+               interpret: bool):
     Mp, K = pos.shape
+    C = tab_pad.shape[1]
     Co = weight.shape[2]
     T = Mp // TILE
     return pl.pallas_call(
-        functools.partial(_conv_kernel, W=W_CONV, V=V),
+        functools.partial(_conv_kernel, W=W, V=V, NWIN=NWIN),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((TILE, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
@@ -269,6 +291,7 @@ def _conv_call(pos, tab_pad, weight, V: int, interpret: bool):
         out_specs=pl.BlockSpec((TILE, Co), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Co), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -282,18 +305,24 @@ def windowed_gather_matmul(
     weight: jnp.ndarray,  # (K, C, Co)
     compute_dtype=None,
     interpret: bool | None = None,
+    window: int | None = None,
 ):
     """Drop-in for the XLA im2col gather+matmul (ops.sparse._gathered_matmul).
 
     Returns (M, Co) f32. A per-tile span check (plain vector math on the
     index array) lax.cond-selects between the Pallas kernel and the exact
     XLA gather, so unsorted tables degrade gracefully.
+
+    window: per-tile table window (multiple of 256). Strided convs read
+    ~(V_in/M_out) input rows per output row, so their callers pass a
+    proportionally wider window; default W_CONV suits submanifold convs.
     """
     if interpret is None:
         interpret = _interpret_default()
     V, C = feats.shape
     M, K = gather.shape
     Co = weight.shape[2]
+    W = window or W_CONV
     dt = compute_dtype or feats.dtype
 
     def xla_path(_):
@@ -307,10 +336,13 @@ def windowed_gather_matmul(
         )
 
     itemsize = jnp.dtype(dt).itemsize
-    if (V + W_CONV) * C * itemsize * (128 // min(C, 128)) > VMEM_TABLE_BYTES:
+    if (V + W) * C * itemsize * (128 // min(C, 128)) > VMEM_TABLE_BYTES:
         # (N, C<128) arrays occupy full 128-lane vregs in VMEM
         return xla_path(None)
 
+    # follow-up windows extend the per-tile budget to NWIN*W (pl.when-
+    # guarded, ~free when skipped); only tiles beyond that fall back
+    nwin = 4 if W <= 256 else 8
     Mp = ((M + TILE - 1) // TILE) * TILE
     T = Mp // TILE
     g = jnp.full((Mp, K), V, jnp.int32).at[:M].set(gather)
@@ -318,12 +350,15 @@ def windowed_gather_matmul(
     ft = gt < V
     lo = jnp.min(jnp.where(ft, gt, jnp.iinfo(jnp.int32).max), axis=1)  # (T, K)
     hi = jnp.max(jnp.where(ft, gt, -1), axis=1)
-    ok = jnp.all(jnp.where(hi >= 0, hi - jnp.minimum(lo, hi) < W_CONV, True))
+    ok = jnp.all(
+        jnp.where(hi >= 0, hi - jnp.minimum(lo, hi) < nwin * W, True)
+    )
 
-    tab_pad = jnp.zeros((V + W_CONV, C), dt).at[:V].set(feats.astype(dt))
+    tab_pad = jnp.zeros((V + W, C), dt).at[:V].set(feats.astype(dt))
     w = weight.astype(dt)
 
     def pallas_path(_):
-        return _conv_call(g, tab_pad, w, V=V, interpret=bool(interpret))[:M]
+        return _conv_call(g, tab_pad, w, V=V, W=W, NWIN=nwin,
+                          interpret=bool(interpret))[:M]
 
     return jax.lax.cond(ok, pallas_path, xla_path, None)

@@ -175,7 +175,8 @@ def build_subm_index(
     return NeighborIndex(gather=_sorted_lookup(sorted_keys, perm, qk, use_pallas))  # (V, K)
 
 
-def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool):
+def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool,
+                     window: int | None = None):
     """im2col core shared by subm/strided convs: (M, K) gather of table
     rows -> one (M, K*C) x (K*C, Co) MXU matmul. use_pallas routes through
     the windowed one-hot Pallas kernel (ops/pallas/window_conv — measured
@@ -189,7 +190,8 @@ def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool):
         from .pallas.window_conv import windowed_gather_matmul
 
         return windowed_gather_matmul(feats, gather, weight,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      window=window)
     padded = jnp.concatenate([feats, jnp.zeros((1, C), feats.dtype)], axis=0)
     gathered = padded[gather]  # (M, K, C)
     return jax.lax.dot_general(
@@ -339,7 +341,13 @@ def strided_conv_apply(
     compute_dtype=None,
     use_pallas: bool = False,
 ) -> SparseTensor:
-    out = _gathered_matmul(st.feats, plan.gather, weight, compute_dtype, use_pallas)
+    # A strided conv reads ~capacity_in/capacity_out input rows per output
+    # row; widen the Pallas table window proportionally so typical tiles
+    # stay on the kernel path (the span check still guards exactness).
+    ratio = st.capacity / max(1, plan.coords.shape[0])
+    window = 256 * max(1, int(np.ceil(0.8 * ratio)))
+    out = _gathered_matmul(st.feats, plan.gather, weight, compute_dtype,
+                           use_pallas, window=window)
     if bias is not None:
         out = out + bias
     out = jnp.where(plan.valid[:, None], out, 0.0)

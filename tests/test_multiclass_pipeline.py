@@ -54,9 +54,10 @@ def test_multiclass_shared_trunk(rng):
             if u1[i] and u2[i]:
                 assert t1[i] == t2[i], (name, i)
     # ids are globally unique across classes
-    ids1 = set(out1["car"][0][out1["car"][1]]) | set(out1["bus"][0][out1["bus"][1]])
-    all_ids = list(out1["car"][0][out1["car"][1]]) + list(out1["bus"][0][out1["bus"][1]])
-    assert len(ids1) == len(all_ids)
+    car_ids = out1["car"].tid[out1["car"].used]
+    bus_ids = out1["bus"].tid[out1["bus"].used]
+    ids1 = set(car_ids) | set(bus_ids)
+    assert len(ids1) == len(list(car_ids) + list(bus_ids))
 
 
 def test_equal_configs_share_head_programs():

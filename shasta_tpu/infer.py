@@ -478,13 +478,31 @@ class MultiClassScenePipeline:
         self._table, self._id_count, tid, used, ref = st.step_frame(
             self._table, self._id_count, dets, jnp.float32(time_lag), self.params
         )
-        tid, used, ref = map(np.asarray, (tid, used, ref))
+        # ONE packed device->host fetch per frame instead of 3 + 2 per
+        # class (each fetch is a full RPC round trip on a tunneled TPU)
+        names_order = list(spans)
+        flat = jax.jit(lambda *xs: jnp.concatenate(
+            [x.astype(jnp.float32).reshape(-1) for x in xs]
+        ))(tid, used, ref, *[spans[n][2].keep for n in names_order],
+           *[spans[n][2].fn for n in names_order])
+        p = np.asarray(flat)
+        L = tid.shape[0]
+        tid_np, used_np, ref_np = (
+            p[:L].astype(np.int32), p[L:2 * L] > 0.5, p[2 * L:3 * L]
+        )
+        off = 3 * L
+        kf: dict[str, tuple] = {}
+        for half in range(2):  # keeps then fns, class order
+            for name in names_order:
+                n_c = self.class_heads[name][0].cfg.max_obj
+                kf.setdefault(name, [None, None])[half] = p[off:off + n_c] > 0.5
+                off += n_c
         out = {}
         for name, (lo, hi, dec) in spans.items():
             out[name] = StepOutput(
-                tid=tid[lo:hi], used=used[lo:hi],
-                keep=np.asarray(dec.keep), ref=ref[lo:hi],
-                fn=np.asarray(dec.fn),
+                tid=tid_np[lo:hi], used=used_np[lo:hi],
+                keep=kf[name][0], ref=ref_np[lo:hi],
+                fn=kf[name][1],
             )
         return out
 

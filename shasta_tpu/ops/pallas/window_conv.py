@@ -107,13 +107,13 @@ def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int):
             lt = row < q[:, None]  # (TILE, W)
             use = (beyond[:, None] & (lane < stride)) | final[:, None]
             cnt = cnt + jnp.sum((lt & use).astype(jnp.int32), axis=1)
-            # the match (if any) lies in the final window; its lane is
-            # the count of smaller keys within the FULL window
-            hit = jnp.any(row == q[:, None], axis=1) & final
-            loc = jnp.sum(lt.astype(jnp.int32), axis=1)
+            # the match (if any) lies in the final window: select its
+            # perm value directly through the equality mask (keys are
+            # distinct, so at most one lane matches)
+            eq = (row == q[:, None]) & final[:, None]
+            hit = jnp.any(eq, axis=1)
             prow = perm_ref[pl.ds(r, 1), :].astype(jnp.float32)
-            sel = jnp.where(lane == loc[:, None], prow, 0.0)
-            pv = jnp.sum(sel, axis=1).astype(jnp.int32)
+            pv = jnp.sum(jnp.where(eq, prow, 0.0), axis=1).astype(jnp.int32)
             fval = jnp.where(hit & ~fnd, pv, fval)
             return (h + 1, cnt, fval, (fnd | hit).astype(jnp.int32),
                     beyond.astype(jnp.int32))
@@ -221,53 +221,52 @@ def windowed_lookup(sorted_keys, perm, query, interpret: bool | None = None):
 # --------------------------------------------------------------------------
 
 
-def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, rows_acc, *, W: int,
-                 V: int, NWIN: int):
+def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int,
+                 NWIN: int):
     """grid (T,). pos_ref (TILE, K) int32 gather rows (>= V is a miss);
-    tab_ref (Vp, C) resident features; w_ref (K, C, Co); out (TILE, Co);
-    rows_acc VMEM scratch (TILE, C).
+    tab_ref (Vp, C) resident features; w_ref (K, C, Co); out (TILE, Co).
 
     Per tap: slice a (W, C) window of the resident table at the tile's
     min found position (dynamic pl.ds) and extract rows with a one-hot
     matmul on the MXU — no data-dependent addressing outside the MXU.
-    Up to NWIN-1 FOLLOW-UP windows extend the budget for tiles whose
-    span exceeds W (LiDAR density tails); each is guarded by pl.when on
-    a scalar so typical tiles skip them entirely."""
+    NWIN=2 adds an ADAPTIVE second window at the min of the positions
+    beyond the first (strided convs at z-plane-boundary tiles see
+    BIMODAL positions ~an input-plane apart; a second cluster-aligned
+    window covers them where a contiguous extension cannot). Straight-
+    line compute — branching/scratch variants measured slower."""
     K = pos_ref.shape[1]
     dt = tab_ref.dtype
     Vp = tab_ref.shape[0]
+    INT_MAX = jnp.int32(2**31 - 1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, W), 1)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for k in range(K):
         p = pos_ref[:, k]
         found = p < V
-        lo = jnp.min(jnp.where(found, p, jnp.int32(2**31 - 1)))
+        lo = jnp.min(jnp.where(found, p, INT_MAX))
         base = jnp.clip(jnp.where(jnp.any(found), lo, 0), 0, Vp - W)
         win = tab_ref[pl.ds(base, W), :]  # (W, C)
         loc = jnp.where(found, p - base, W)
         loc = jnp.where(loc < W, loc, W)
         onehot = (loc[:, None] == lanes).astype(dt)  # (TILE, W)
-        rows_acc[:] = jax.lax.dot_general(
+        rows = jax.lax.dot_general(
             onehot, win, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        for i in range(1, NWIN):
-            need = jnp.any(found & (p >= base + i * W))
-
-            @pl.when(need)
-            def _(i=i):
-                start = jnp.minimum(base + i * W, Vp - W)
-                wi = tab_ref[pl.ds(start, W), :]
-                li = jnp.where(found, p - start, W)
-                li = jnp.where((li >= 0) & (li < W), li, W)
-                oh = (li[:, None] == lanes).astype(dt)
-                rows_acc[:] += jax.lax.dot_general(
-                    oh, wi, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-
+        if NWIN == 2:
+            far = found & (p >= base + W)
+            lo2 = jnp.min(jnp.where(far, p, INT_MAX))
+            base2 = jnp.clip(jnp.where(jnp.any(far), lo2, 0), 0, Vp - W)
+            win2 = tab_ref[pl.ds(base2, W), :]
+            loc2 = jnp.where(far, p - base2, W)
+            loc2 = jnp.where(loc2 < W, loc2, W)
+            oh2 = (loc2[:, None] == lanes).astype(dt)
+            rows = rows + jax.lax.dot_general(
+                oh2, win2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         acc = acc + jax.lax.dot_general(
-            rows_acc[:].astype(dt), w_ref[k], (((1,), (0,)), ((), ())),
+            rows.astype(dt), w_ref[k], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     out_ref[:] = acc
@@ -277,7 +276,6 @@ def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, rows_acc, *, W: int,
 def _conv_call(pos, tab_pad, weight, V: int, W: int, NWIN: int,
                interpret: bool):
     Mp, K = pos.shape
-    C = tab_pad.shape[1]
     Co = weight.shape[2]
     T = Mp // TILE
     return pl.pallas_call(
@@ -291,7 +289,6 @@ def _conv_call(pos, tab_pad, weight, V: int, W: int, NWIN: int,
         out_specs=pl.BlockSpec((TILE, Co), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Co), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TILE, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -306,23 +303,26 @@ def windowed_gather_matmul(
     compute_dtype=None,
     interpret: bool | None = None,
     window: int | None = None,
+    nwin: int = 1,
 ):
     """Drop-in for the XLA im2col gather+matmul (ops.sparse._gathered_matmul).
 
-    Returns (M, Co) f32. A per-tile span check (plain vector math on the
-    index array) lax.cond-selects between the Pallas kernel and the exact
-    XLA gather, so unsorted tables degrade gracefully.
+    Returns (M, Co) f32. A per-tile coverage check (plain vector math on
+    the index array) lax.cond-selects between the Pallas kernel and the
+    exact XLA gather, so unsorted tables degrade gracefully.
 
-    window: per-tile table window (multiple of 256). Strided convs read
-    ~(V_in/M_out) input rows per output row, so their callers pass a
-    proportionally wider window; default W_CONV suits submanifold convs.
+    window: per-tile table window. Strided convs read ~(V_in/M_out) input
+    rows per output row, so their callers pass a proportionally wider
+    window; the default suits submanifold convs (measured spans: <=139 at
+    stage 0, <=~260 at C>=32 stages — hence the C-keyed default).
+    nwin=2 adds the adaptive second window for bimodal z-boundary tiles.
     """
     if interpret is None:
         interpret = _interpret_default()
     V, C = feats.shape
     M, K = gather.shape
     Co = weight.shape[2]
-    W = window or W_CONV
+    W = window or (W_CONV if C < 32 else 384)
     dt = compute_dtype or feats.dtype
 
     def xla_path(_):
@@ -340,19 +340,21 @@ def windowed_gather_matmul(
         # (N, C<128) arrays occupy full 128-lane vregs in VMEM
         return xla_path(None)
 
-    # follow-up windows extend the per-tile budget to NWIN*W (pl.when-
-    # guarded, ~free when skipped); only tiles beyond that fall back
-    nwin = 4 if W <= 256 else 8
     Mp = ((M + TILE - 1) // TILE) * TILE
     T = Mp // TILE
+    INT_MAX = jnp.iinfo(jnp.int32).max
     g = jnp.full((Mp, K), V, jnp.int32).at[:M].set(gather)
     gt = g.reshape(T, TILE, K)
     ft = gt < V
-    lo = jnp.min(jnp.where(ft, gt, jnp.iinfo(jnp.int32).max), axis=1)  # (T, K)
-    hi = jnp.max(jnp.where(ft, gt, -1), axis=1)
-    ok = jnp.all(
-        jnp.where(hi >= 0, hi - jnp.minimum(lo, hi) < nwin * W, True)
-    )
+    lo = jnp.min(jnp.where(ft, gt, INT_MAX), axis=1)  # (T, K)
+    in1 = ft & (gt - lo[:, None, :] < W)  # covered by the first window
+    if nwin == 2:
+        far = ft & ~in1
+        lo2 = jnp.min(jnp.where(far, gt, INT_MAX), axis=1)
+        covered = in1 | (far & (gt - lo2[:, None, :] < W))
+    else:
+        covered = in1
+    ok = jnp.all(covered == ft)
 
     tab_pad = jnp.zeros((V + W, C), dt).at[:V].set(feats.astype(dt))
     w = weight.astype(dt)

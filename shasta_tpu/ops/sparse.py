@@ -176,7 +176,7 @@ def build_subm_index(
 
 
 def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool,
-                     window: int | None = None):
+                     window: int | None = None, nwin: int = 1):
     """im2col core shared by subm/strided convs: (M, K) gather of table
     rows -> one (M, K*C) x (K*C, Co) MXU matmul. use_pallas routes through
     the windowed one-hot Pallas kernel (ops/pallas/window_conv — measured
@@ -191,7 +191,7 @@ def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool,
 
         return windowed_gather_matmul(feats, gather, weight,
                                       compute_dtype=compute_dtype,
-                                      window=window)
+                                      window=window, nwin=nwin)
     padded = jnp.concatenate([feats, jnp.zeros((1, C), feats.dtype)], axis=0)
     gathered = padded[gather]  # (M, K, C)
     return jax.lax.dot_general(
@@ -342,12 +342,14 @@ def strided_conv_apply(
     use_pallas: bool = False,
 ) -> SparseTensor:
     # A strided conv reads ~capacity_in/capacity_out input rows per output
-    # row; widen the Pallas table window proportionally so typical tiles
-    # stay on the kernel path (the span check still guards exactness).
+    # row; widen the Pallas table window proportionally, and use the
+    # adaptive second window (nwin=2) for output tiles that straddle a
+    # z-plane boundary, where positions are BIMODAL ~an input plane apart
+    # (the coverage check still guards exactness).
     ratio = st.capacity / max(1, plan.coords.shape[0])
     window = 256 * max(1, int(np.ceil(0.8 * ratio)))
     out = _gathered_matmul(st.feats, plan.gather, weight, compute_dtype,
-                           use_pallas, window=window)
+                           use_pallas, window=window, nwin=2)
     if bias is not None:
         out = out + bias
     out = jnp.where(plan.valid[:, None], out, 0.0)

@@ -160,6 +160,30 @@ def test_windowed_conv_wide_spans(rng):
     np.testing.assert_allclose(out, _xla_ref(feats, g, w), atol=1e-4)
 
 
+def test_windowed_conv_adaptive_second_window(rng):
+    """Bimodal tiles (z-plane boundary in a strided conv: two position
+    clusters ~a plane apart) are covered by the adaptive second window
+    (nwin=2) without falling back."""
+    V, M, K, C, Co = 8192, 512, 5, 16, 8
+    feats = rng.normal(size=(V, C)).astype(np.float32)
+    w = (rng.normal(size=(K, C, Co)) * 0.2).astype(np.float32)
+    g = np.empty((M, K), np.int64)
+    T = M // 128
+    for k in range(K):
+        starts = np.sort(rng.integers(0, V - 4000, size=T))
+        for t in range(T):
+            a = starts[t] + np.sort(rng.integers(0, 200, size=64))
+            b = starts[t] + 3000 + np.sort(rng.integers(0, 200, size=64))
+            g[t * 128: (t + 1) * 128, k] = np.concatenate([a, b])
+    g[rng.random((M, K)) < 0.1] = V
+    g = g.astype(np.int32)
+    out = np.asarray(windowed_gather_matmul(
+        jnp.asarray(feats), jnp.asarray(g), jnp.asarray(w),
+        window=512, nwin=2,
+    ))
+    np.testing.assert_allclose(out, _xla_ref(feats, g, w), atol=1e-4)
+
+
 def test_windowed_lookup_multi_hop_density_shift(rng):
     """A dense query band mapping into a sparse key band (and vice versa)
     forces multi-window hops per tile; results must stay exact without

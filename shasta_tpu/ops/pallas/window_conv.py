@@ -61,21 +61,32 @@ WIDE = 3  # widened key rows: row r holds keys[128 r : 128 r + 384]
 MAX_HOPS = 64  # window hops per tile before flagging the XLA fallback
 
 
-def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int):
+def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int,
+                   triple: bool):
     """grid (T,). q_ref (TILE, K) int32 queries (monotone per tap column);
     keys_ref / perm_ref (R, WIDE*128): WIDENED rows of the ascending key
     array and its argsort permutation, offset by one GUARD element
     (INT32_MIN) so row r covers flat key positions [128r - 1, 128r + 383)
     and lane 0 always holds the key just BEFORE the window — making the
     low-side overflow check exact. A tap's window fetch is ONE dynamic
-    row slice in natural lane layout. pos_ref (TILE, K) out: perm[pos],
-    V for miss, -1 when the tile overflowed its window (wrapper falls
-    back). cursors: SMEM (K,) per-tap flat positions walked forward
-    across grid steps (queries are monotone per tap)."""
+    row slice in natural lane layout. pos_ref out: perm[pos], V for
+    miss, -1 when the tile overflowed its window (wrapper falls back).
+    cursors: SMEM (K,) per-tap flat positions walked forward across grid
+    steps (queries are monotone per tap).
+
+    triple=True: each query column is the CENTER of a unit-spaced triplet
+    (the dx = -1/0/+1 taps of a 3x3x3 stencil differ by exactly 1 in
+    linear key) — the kernel also resolves q-1 and q+1 inside the same
+    windows, writing pos_ref (TILE, 3K) in (k, dx) raster order. The
+    q-1 match is always visible (lane 0 holds the pre-window key and
+    pos(q) >= the window start), and `beyond` is widened by one so the
+    q+1 match stays inside the final window."""
     K = q_ref.shape[1]
     W = WIDE * TILE
     R = keys_ref.shape[0]
     t = pl.program_id(0)
+    deltas = (-1, 0, 1) if triple else (0,)
+    D = len(deltas)
 
     @pl.when(t == 0)
     def _():
@@ -97,25 +108,29 @@ def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int):
         # and all 384 lanes of its final window — the hop counts sum to
         # exactly pos - (128 r0 - 1) for arbitrary spans.
         def body(state):
-            h, cnt, fval, fnd_i, active_i = state  # masks carried as int32
-            fnd = fnd_i > 0
+            h, cnt, fvals, fnds, active_i = state  # masks carried as int32
             active = active_i > 0
             r = jnp.minimum(r0 + (WIDE - 1) * h, R - 1)
             row = keys_ref[pl.ds(r, 1), :]  # (1, W)
-            beyond = active & (q > row[0, W - 1])
+            end = row[0, W - 1]
+            beyond = active & ((q + (1 if triple else 0)) > end)
             final = active & ~beyond
             lt = row < q[:, None]  # (TILE, W)
             use = (beyond[:, None] & (lane < stride)) | final[:, None]
             cnt = cnt + jnp.sum((lt & use).astype(jnp.int32), axis=1)
-            # the match (if any) lies in the final window: select its
-            # perm value directly through the equality mask (keys are
-            # distinct, so at most one lane matches)
-            eq = (row == q[:, None]) & final[:, None]
-            hit = jnp.any(eq, axis=1)
+            # matches lie in the final window: select perm values through
+            # the equality masks (keys distinct -> at most one lane each)
             prow = perm_ref[pl.ds(r, 1), :].astype(jnp.float32)
-            pv = jnp.sum(jnp.where(eq, prow, 0.0), axis=1).astype(jnp.int32)
-            fval = jnp.where(hit & ~fnd, pv, fval)
-            return (h + 1, cnt, fval, (fnd | hit).astype(jnp.int32),
+            new_fvals = []
+            new_fnds = []
+            for j, d in enumerate(deltas):
+                fnd = fnds[j] > 0
+                eq = (row == (q + d)[:, None]) & final[:, None]
+                hit = jnp.any(eq, axis=1)
+                pv = jnp.sum(jnp.where(eq, prow, 0.0), axis=1).astype(jnp.int32)
+                new_fvals.append(jnp.where(hit & ~fnd, pv, fvals[j]))
+                new_fnds.append((fnd | hit).astype(jnp.int32))
+            return (h + 1, cnt, tuple(new_fvals), tuple(new_fnds),
                     beyond.astype(jnp.int32))
 
         def cond(state):
@@ -123,9 +138,9 @@ def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int):
             return jnp.any(active_i > 0) & (h < MAX_HOPS)
 
         zero = jnp.zeros((TILE,), jnp.int32)
-        state = (jnp.int32(0), zero, zero, zero, real.astype(jnp.int32))
-        h, cnt, fval, fnd_i, active_i = jax.lax.while_loop(cond, body, state)
-        fnd = fnd_i > 0
+        state = (jnp.int32(0), zero, (zero,) * D, (zero,) * D,
+                 real.astype(jnp.int32))
+        h, cnt, fvals, fnds, active_i = jax.lax.while_loop(cond, body, state)
         active = active_i > 0
 
         # flag for XLA fallback: a real query at/before the first
@@ -133,8 +148,9 @@ def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int):
         # the cursor), or the hop cap was exhausted
         row0 = keys_ref[pl.ds(r0, 1), :]
         bad = jnp.any(real & (q <= row0[0, 0])) | jnp.any(active)
-        res = jnp.where(fnd, fval, V)
-        pos_ref[:, k] = jnp.where(bad, -1, res)
+        for j in range(D):
+            res = jnp.where(fnds[j] > 0, fvals[j], V)
+            pos_ref[:, D * k + j] = jnp.where(bad, -1, res)
         cursors[k] = jnp.maximum(
             cursors[k],
             jnp.minimum(
@@ -143,21 +159,23 @@ def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("V", "interpret"))
-def _lookup_call(queries, keys_wide, perm_wide, V: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("V", "triple", "interpret"))
+def _lookup_call(queries, keys_wide, perm_wide, V: int, triple: bool,
+                 interpret: bool):
     Mp, K = queries.shape
+    D = 3 if triple else 1
     T = Mp // TILE
     return pl.pallas_call(
-        functools.partial(_lookup_kernel, V=V),
+        functools.partial(_lookup_kernel, V=V, triple=triple),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((TILE, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, K), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((TILE, D * K), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, K), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Mp, D * K), jnp.int32),
         scratch_shapes=[pltpu.SMEM((K,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -188,6 +206,31 @@ def windowed_lookup(sorted_keys, perm, query, interpret: bool | None = None):
         interpret = _interpret_default()
     V = sorted_keys.shape[0]
     M, K = query.shape
+    pos = _lookup_run(sorted_keys, perm, query, triple=False,
+                      interpret=bool(interpret))
+
+    def xla_path(_):
+        return _xla_lookup(sorted_keys, perm, query)
+
+    return jax.lax.cond(
+        jnp.any(pos < 0), xla_path, lambda _: pos[:M], None
+    )
+
+
+def _xla_lookup(sorted_keys, perm, query):
+    V = sorted_keys.shape[0]
+    p = jnp.searchsorted(sorted_keys, query.reshape(-1), side="left",
+                         method="sort")
+    p = jnp.clip(p, 0, V - 1)
+    qf = query.reshape(-1)
+    found = (sorted_keys[p] == qf) & (qf != SENTINEL)
+    return (jnp.where(found, perm[p], V).astype(jnp.int32)
+            .reshape(query.shape))
+
+
+def _lookup_run(sorted_keys, perm, query, triple: bool, interpret: bool):
+    V = sorted_keys.shape[0]
+    M, K = query.shape
     Mp = ((M + TILE - 1) // TILE) * TILE
     q = jnp.full((Mp, K), SENTINEL, jnp.int32).at[:M].set(query.astype(jnp.int32))
     R = (V + TILE - 1) // TILE + 1
@@ -200,16 +243,35 @@ def windowed_lookup(sorted_keys, perm, query, interpret: bool | None = None):
     pf = jnp.zeros((flat_len,), jnp.int32).at[1: V + 1].set(
         perm.astype(jnp.int32)
     )
-    pos = _lookup_call(q, _widen(kf, R), _widen(pf, R), V=V,
-                       interpret=bool(interpret))
+    return _lookup_call(q, _widen(kf, R), _widen(pf, R), V=V, triple=triple,
+                        interpret=interpret)
+
+
+def windowed_lookup_triple(sorted_keys, perm, centers,
+                           interpret: bool | None = None):
+    """Resolve perm[pos] for (c-1, c, c+1) per center query in one pass.
+
+    The dx taps of a 3x3x3 stencil differ by exactly 1 in linear key, so
+    a 27-tap neighbor build only needs 9 center lookups — the +-1
+    variants fall out of the same windows. centers (M, G) monotone per
+    column; returns (M, 3G) in (g, dx) raster order (== the full tap
+    raster when G iterates (dz, dy)). Falls back to the XLA path on the
+    expanded queries when any tile flags."""
+    if interpret is None:
+        interpret = _interpret_default()
+    V = sorted_keys.shape[0]
+    M, G = centers.shape
+    pos = _lookup_run(sorted_keys, perm, centers, triple=True,
+                      interpret=bool(interpret))
 
     def xla_path(_):
-        p = jnp.searchsorted(sorted_keys, query.reshape(-1), side="left",
-                             method="sort")
-        p = jnp.clip(p, 0, V - 1)
-        qf = query.reshape(-1)
-        found = (sorted_keys[p] == qf) & (qf != SENTINEL)
-        return jnp.where(found, perm[p], V).astype(jnp.int32).reshape(M, K)
+        c = centers.astype(jnp.int32)
+        real = c != SENTINEL
+        q3 = jnp.stack(
+            [jnp.where(real, c - 1, SENTINEL), c,
+             jnp.where(real, c + 1, SENTINEL)], axis=-1,
+        ).reshape(M, 3 * G)
+        return _xla_lookup(sorted_keys, perm, q3)
 
     return jax.lax.cond(
         jnp.any(pos < 0), xla_path, lambda _: pos[:M], None

@@ -172,6 +172,16 @@ def build_subm_index(
     cell = (n[..., 0] * Y + n[..., 1]) * X + n[..., 2]
     key = b[:, None] * (Z * Y * X + 1) + cell
     qk = jnp.where(in_range, key, SENTINEL)
+    if use_pallas and kx == 3:
+        # dx taps differ by exactly 1 in linear key: resolve all 27 from
+        # the 9 (dz, dy) center lookups; the in_range mask kills phantom
+        # matches where x+-1 wraps into a neighboring y-row's cell
+        from .pallas.window_conv import windowed_lookup_triple
+
+        out = windowed_lookup_triple(sorted_keys, perm, qk[:, 1::3])
+        return NeighborIndex(
+            gather=jnp.where(in_range, out, st.capacity).astype(jnp.int32)
+        )
     return NeighborIndex(gather=_sorted_lookup(sorted_keys, perm, qk, use_pallas))  # (V, K)
 
 
@@ -329,7 +339,15 @@ def build_strided_plan(
     cell_in = (ic[..., 0] * Y + ic[..., 1]) * X + ic[..., 2]
     qk = out_coords[:, :1] * (Z * Y * X + 1) + cell_in
     qk = jnp.where(in_range, qk, SENTINEL)
-    gather = _sorted_lookup(sorted_in, perm, qk, use_pallas)  # (V_out, K)
+    if use_pallas and kx == 3:
+        # kx taps differ by exactly 1 in linear input key (see
+        # build_subm_index): 9 center lookups resolve all 27
+        from .pallas.window_conv import windowed_lookup_triple
+
+        out = windowed_lookup_triple(sorted_in, perm, qk[:, 1::3])
+        gather = jnp.where(in_range, out, st.capacity).astype(jnp.int32)
+    else:
+        gather = _sorted_lookup(sorted_in, perm, qk, use_pallas)  # (V_out, K)
     return StridedPlan(out_coords, out_valid, gather, out_shape)
 
 

@@ -137,6 +137,8 @@ def _run_batched(model, variables, lanes: int, iters: int) -> float:
         out = pipe.step_frames(frame, n_curr, [False] * lanes, lags)
         if prev is not None:
             prev.tid  # fetch LAST frame's packed outputs: overlaps compute
+            assert bool(__import__("numpy").all(prev.coverage_ok)), \
+                "pallas coverage flag tripped: bench invalid"
         prev = out
     prev.tid
     return lanes * iters / (time.perf_counter() - t0)
@@ -157,6 +159,7 @@ def _run_single(model, variables, iters: int) -> float:
         out = pipe.step_frame(frame, N_DETS, 0.5)
         if prev is not None:
             prev.tid  # fetch LAST frame's packed outputs: overlaps compute
+            assert prev.coverage_ok, "pallas coverage flag tripped: bench invalid"
         prev = out
     prev.tid
     return iters / (time.perf_counter() - t0)

@@ -104,6 +104,21 @@ class StepOutput:
             return self._eager["fn"]
         return self._arr()[..., 4, : self._N] > 0.5
 
+    @property
+    def coverage_ok(self):
+        """False when a Pallas kernel's window assumption was violated
+        this frame (fast program only) — the caller must replay the scene
+        through the safe program. Scalar, or (B,) for the batched
+        pipeline."""
+        if self._eager is not None:
+            return self._eager.get("coverage_ok", True)
+        p = self._arr()
+        if p.shape[-2] < 6:
+            return True
+        return bool(np.all(p[..., 5, 0] > 0.5)) if p.ndim == 2 else (
+            p[..., 5, 0] > 0.5
+        )
+
 
 def _dets_with_fn(boxes, prev_boxes, dec, cls_id):
     """Build the tracker's det rows: kept curr dets [0, N) followed by
@@ -153,7 +168,7 @@ class ScenePipeline:
         # det-major slots now hold 2N rows (curr dets + FN injections)
         self.cap = self.track_cap or 2 * N * (self.params.max_age + 1)
 
-        def step(variables, frame, n_prev, n_curr, prev_boxes, prev_feat,
+        def body(variables, frame, n_prev, n_curr, prev_boxes, prev_feat,
                  table, id_count, time_lag):
             curr_feat = self.model.apply(
                 variables, frame, train=False, method=ShastaModel.frame_features
@@ -178,20 +193,43 @@ class ScenePipeline:
             table, id_count, tid, used, ref = st.step_frame(
                 table, id_count, dets, time_lag, self.params
             )
-            # pack every host-bound output into ONE f32 array: through the
-            # remote-TPU relay each device->host fetch is a round trip
-            # (~30 ms), and 5 separate fetches per frame cost more than
-            # the whole on-device step (tids stay exact in f32: < 2^24)
-            packed = jnp.stack([
-                tid.astype(jnp.float32),
-                used.astype(jnp.float32),
-                ref,
-                jnp.pad(dec.keep.astype(jnp.float32), (0, N)),
-                jnp.pad(dec.fn.astype(jnp.float32), (0, N)),
-            ])
-            return curr_feat, packed, table, id_count
+            return curr_feat, dec, table, id_count, tid, used, ref
 
-        self._step = jax.jit(step)
+        def make_step(fast: bool):
+            def step(variables, frame, n_prev, n_curr, prev_boxes, prev_feat,
+                     table, id_count, time_lag):
+                args = (variables, frame, n_prev, n_curr, prev_boxes,
+                        prev_feat, table, id_count, time_lag)
+                if fast:
+                    # conditional-free kernels: coverage flags ride the
+                    # packed output; a tripped flag means this frame must
+                    # be replayed through the safe program (lax.cond
+                    # boundaries cost ~2.5 ms EACH on v5e — 18 of them
+                    # measured 6.2 vs 8.6 frames/s end to end)
+                    from .ops.pallas.window_conv import collect_coverage_flags
+
+                    with collect_coverage_flags() as fl:
+                        curr_feat, dec, table_, idc, tid, used, ref = body(*args)
+                    ok = fl.all_ok()
+                else:
+                    curr_feat, dec, table_, idc, tid, used, ref = body(*args)
+                    ok = jnp.bool_(True)
+                # pack every host-bound output into ONE f32 array: through
+                # the remote-TPU relay each device->host fetch is a round
+                # trip (~30 ms); tids stay exact in f32 (< 2^24)
+                packed = jnp.stack([
+                    tid.astype(jnp.float32),
+                    used.astype(jnp.float32),
+                    ref,
+                    jnp.pad(dec.keep.astype(jnp.float32), (0, N)),
+                    jnp.pad(dec.fn.astype(jnp.float32), (0, N)),
+                    jnp.broadcast_to(ok.astype(jnp.float32), (2 * N,)),
+                ])
+                return curr_feat, packed, table_, idc
+            return step
+
+        self._step = jax.jit(make_step(True))
+        self._step_safe = jax.jit(make_step(False))  # compiled on first use
         self.reset()
 
     def reset(self):
@@ -202,11 +240,18 @@ class ScenePipeline:
         self._table = st.TrackTable.empty(self.cap)
         self._id_count = jnp.int32(0)
 
-    def step_frame(self, frame_np: dict, n_curr: int, time_lag: float) -> StepOutput:
+    def step_frame(self, frame_np: dict, n_curr: int, time_lag: float,
+                   safe: bool = False) -> StepOutput:
         """frame_np: fixed-shape single-frame batch (B=1). Returns a
-        StepOutput (det rows [0, N) = curr dets, [N, 2N) = FN injections)."""
+        StepOutput (det rows [0, N) = curr dets, [N, 2N) = FN injections).
+
+        safe=True runs the program with in-graph XLA fallbacks (slower);
+        the default fast program instead reports `coverage_ok` — callers
+        replay a scene through safe=True when a frame flags (rare:
+        pathological window spans or unsorted voxel tables)."""
         frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
-        curr_feat, packed, table, id_count = self._step(
+        step_fn = self._step_safe if safe else self._step
+        curr_feat, packed, table, id_count = step_fn(
             self.variables, frame, self._n_prev, jnp.int32(n_curr),
             self._prev_boxes, self._prev_feat, self._table, self._id_count,
             jnp.float32(time_lag),
@@ -265,7 +310,7 @@ class BatchedScenePipeline:
             )
             return table, id_count, tid, used, ref, dec.keep, dec.fn
 
-        def step(variables, frame, reset, n_prev, n_curr, prev_boxes,
+        def body(variables, frame, reset, n_prev, n_curr, prev_boxes,
                  prev_feat, tables, id_counts, lags):
             # zero carried state for lanes starting a new scene
             rz = reset[:, None, None]
@@ -290,17 +335,35 @@ class BatchedScenePipeline:
                 m1, m2, n_prev, n_curr, frame["det_boxes"], prev_boxes,
                 tables, id_counts, lags,
             )
-            # one packed host-bound array (see ScenePipeline.step)
-            packed = jnp.stack([
-                tid.astype(jnp.float32),
-                used.astype(jnp.float32),
-                ref,
-                jnp.pad(keep.astype(jnp.float32), ((0, 0), (0, N))),
-                jnp.pad(fn.astype(jnp.float32), ((0, 0), (0, N))),
-            ], axis=1)  # (B, 5, 2N)
-            return curr_feat, tables, id_counts, packed
+            return curr_feat, tables, id_counts, tid, used, ref, keep, fn
 
-        self._step = jax.jit(step)
+        def make_step(fast: bool):
+            def step(*args):
+                if fast:
+                    from .ops.pallas.window_conv import collect_coverage_flags
+
+                    with collect_coverage_flags() as fl:
+                        (curr_feat, tables, id_counts, tid, used, ref, keep,
+                         fn) = body(*args)
+                    ok = fl.all_ok()
+                else:
+                    (curr_feat, tables, id_counts, tid, used, ref, keep,
+                     fn) = body(*args)
+                    ok = jnp.bool_(True)
+                # one packed host-bound array (see ScenePipeline.step)
+                packed = jnp.stack([
+                    tid.astype(jnp.float32),
+                    used.astype(jnp.float32),
+                    ref,
+                    jnp.pad(keep.astype(jnp.float32), ((0, 0), (0, N))),
+                    jnp.pad(fn.astype(jnp.float32), ((0, 0), (0, N))),
+                    jnp.broadcast_to(ok.astype(jnp.float32), (B, 2 * N)),
+                ], axis=1)  # (B, 6, 2N)
+                return curr_feat, tables, id_counts, packed
+            return step
+
+        self._step = jax.jit(make_step(True))
+        self._step_safe = jax.jit(make_step(False))  # compiled on first use
         self.reset()
 
     def reset(self):
@@ -318,15 +381,18 @@ class BatchedScenePipeline:
         # large disjoint id offsets keep ids unique across lanes
         self._id_counts = jnp.arange(self.batch, dtype=jnp.int32) * 1_000_000
 
-    def step_frames(self, frame_np: dict, n_curr, reset, time_lags):
+    def step_frames(self, frame_np: dict, n_curr, reset, time_lags,
+                    safe: bool = False):
         """Advance all B scene lanes by one frame.
 
         frame_np: batched voxel/box arrays (B, ...); n_curr (B,) real det
         counts; reset (B,) bool new-scene flags; time_lags (B,).
         Returns a StepOutput of batched arrays: tid/used/ref (B, 2N) with
-        FN rows at [N, 2N), keep/fn (B, N)."""
+        FN rows at [N, 2N), keep/fn (B, N). See ScenePipeline.step_frame
+        for the safe/coverage_ok contract."""
         frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
-        curr_feat, tables, id_counts, packed = self._step(
+        step_fn = self._step_safe if safe else self._step
+        curr_feat, tables, id_counts, packed = step_fn(
             self.variables, frame, jnp.asarray(reset), self._n_prev,
             jnp.asarray(n_curr, jnp.int32), self._prev_boxes, self._prev_feat,
             self._tables, self._id_counts, jnp.asarray(time_lags, jnp.float32),
@@ -539,15 +605,11 @@ def track_scene_dataset(pipeline: ScenePipeline, dataset, frame_lags=None,
             "attribute_name": src.get("attribute_name"),
         }
 
-    pipeline.reset()
-    for i in it:
-        sample = dataset[i]
-        if not sample["prev_token"]:
-            pipeline.reset()
+    def step_and_format(sample, safe: bool):
         batch = collate([sample])
         n_curr = len(sample["cls_det_boxes"])
         lag = float(sample["det_boxes"][0, 9]) if n_curr else 0.5
-        out = pipeline.step_frame(batch, n_curr, lag)
+        out = pipeline.step_frame(batch, n_curr, lag, safe=safe)
         annos = []
         for k in range(n_curr):
             if not out.used[k]:
@@ -573,6 +635,29 @@ def track_scene_dataset(pipeline: ScenePipeline, dataset, frame_lags=None,
                     translation=tr,
                 ))
         results[sample["token"]] = annos
+        return bool(np.all(out.coverage_ok))
+
+    def replay_scene(scene_samples):
+        """A frame tripped a Pallas coverage flag: rerun the whole scene
+        through the safe program (in-graph XLA fallbacks)."""
+        pipeline.reset()
+        for s in scene_samples:
+            step_and_format(s, safe=True)
+
+    pipeline.reset()
+    scene: list = []
+    scene_ok = True
+    for i in it:
+        sample = dataset[i]
+        if not sample["prev_token"]:
+            if not scene_ok:
+                replay_scene(scene)
+            pipeline.reset()
+            scene, scene_ok = [], True
+        scene.append(sample)
+        scene_ok &= step_and_format(sample, safe=False)
+    if not scene_ok:
+        replay_scene(scene)
     return {"results": results, "meta": {
         "use_camera": False, "use_lidar": True, "use_radar": False,
         "use_map": False, "use_external": False,

@@ -149,6 +149,8 @@ class SparseBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, train: bool = False) -> jnp.ndarray:
+        import jax
+
         bn = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                   use_pallas=self.use_pallas)
 
@@ -156,46 +158,49 @@ class SparseBackbone(nn.Module):
         # the stage's KeyTable; every later position set comes out of a
         # strided compaction ALREADY key-sorted, so the remaining stages
         # (and every strided input lookup) skip their sorts entirely.
-        if self.assume_sorted:
-            t0 = sp.key_table_checked(st)  # guarded: sorts only if needed
-        else:
-            t0 = sp.key_table(st)
-        idx0 = sp.build_subm_index(st, table=t0, use_pallas=self.use_pallas)
-        w = self.param(
-            "conv_input_kernel",
-            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
-            (27, self.num_input_features, 16),
-        )
-        x = sp.subm_conv_apply(st, idx0, w, None, compute_dtype=self.dtype,
-                               use_pallas=self.use_pallas)  # bias=False (scn.py:114)
-        f = SparseBN(axis_name=self.bn_axis_name, name="conv_input_bn")(x.feats, x.valid, train)
-        x = x._replace(feats=nn.relu(f))
-        x = SparseBasicBlock(16, **bn, name="res0a")(x, idx0, train)
-        x = SparseBasicBlock(16, **bn, name="res0b")(x, idx0, train)
+        with jax.named_scope("bb_stage0"):
+            if self.assume_sorted:
+                t0 = sp.key_table_checked(st)  # guarded: sorts only if needed
+            else:
+                t0 = sp.key_table(st)
+            idx0 = sp.build_subm_index(st, table=t0, use_pallas=self.use_pallas)
+            w = self.param(
+                "conv_input_kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                (27, self.num_input_features, 16),
+            )
+            x = sp.subm_conv_apply(st, idx0, w, None, compute_dtype=self.dtype,
+                                   use_pallas=self.use_pallas)  # bias=False (scn.py:114)
+            f = SparseBN(axis_name=self.bn_axis_name, name="conv_input_bn")(x.feats, x.valid, train)
+            x = x._replace(feats=nn.relu(f))
+            x = SparseBasicBlock(16, **bn, name="res0a")(x, idx0, train)
+            x = SparseBasicBlock(16, **bn, name="res0b")(x, idx0, train)
 
-        # conv2
-        x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, name="down1")(x, train, table=t0)
-        t1 = sp.key_table_presorted(x)
-        idx1 = sp.build_subm_index(x, table=t1, use_pallas=self.use_pallas)
-        x = SparseBasicBlock(32, **bn, name="res1a")(x, idx1, train)
-        x = SparseBasicBlock(32, **bn, name="res1b")(x, idx1, train)
+        with jax.named_scope("bb_stage1"):
+            x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, name="down1")(x, train, table=t0)
+            t1 = sp.key_table_presorted(x)
+            idx1 = sp.build_subm_index(x, table=t1, use_pallas=self.use_pallas)
+            x = SparseBasicBlock(32, **bn, name="res1a")(x, idx1, train)
+            x = SparseBasicBlock(32, **bn, name="res1b")(x, idx1, train)
 
-        # conv3
-        x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, name="down2")(x, train, table=t1)
-        t2 = sp.key_table_presorted(x)
-        idx2 = sp.build_subm_index(x, table=t2, use_pallas=self.use_pallas)
-        x = SparseBasicBlock(64, **bn, name="res2a")(x, idx2, train)
-        x = SparseBasicBlock(64, **bn, name="res2b")(x, idx2, train)
+        with jax.named_scope("bb_stage2"):
+            x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, name="down2")(x, train, table=t1)
+            t2 = sp.key_table_presorted(x)
+            idx2 = sp.build_subm_index(x, table=t2, use_pallas=self.use_pallas)
+            x = SparseBasicBlock(64, **bn, name="res2a")(x, idx2, train)
+            x = SparseBasicBlock(64, **bn, name="res2b")(x, idx2, train)
 
-        # conv4 (z unpadded: padding (0,1,1), scn.py:146)
-        x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, name="down3")(x, train, table=t2)
-        t3 = sp.key_table_presorted(x)
-        idx3 = sp.build_subm_index(x, table=t3, use_pallas=self.use_pallas)
-        x = SparseBasicBlock(128, **bn, name="res3a")(x, idx3, train)
-        x = SparseBasicBlock(128, **bn, name="res3b")(x, idx3, train)
+        with jax.named_scope("bb_stage3"):
+            # conv4 (z unpadded: padding (0,1,1), scn.py:146)
+            x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, name="down3")(x, train, table=t2)
+            t3 = sp.key_table_presorted(x)
+            idx3 = sp.build_subm_index(x, table=t3, use_pallas=self.use_pallas)
+            x = SparseBasicBlock(128, **bn, name="res3a")(x, idx3, train)
+            x = SparseBasicBlock(128, **bn, name="res3b")(x, idx3, train)
 
-        # extra_conv: (3,1,1) stride (2,1,1) pad 0 (scn.py:155-161)
-        x = StridedConvBNReLU(128, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.cap_extra, **bn, name="extra")(x, train, table=t3)
+        with jax.named_scope("bb_extra"):
+            # extra_conv: (3,1,1) stride (2,1,1) pad 0 (scn.py:155-161)
+            x = StridedConvBNReLU(128, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.cap_extra, **bn, name="extra")(x, train, table=t3)
 
         dense = sp.to_dense(x)  # (B, D, H, W, C)
         B, D, H, W, C = dense.shape

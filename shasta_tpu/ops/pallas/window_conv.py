@@ -53,6 +53,46 @@ def _interpret_default() -> bool:
 
 
 # --------------------------------------------------------------------------
+# coverage-flag sink: conditional-free fast path
+# --------------------------------------------------------------------------
+#
+# Wrapping every kernel in lax.cond(ok, pallas, xla) costs ~2.5 ms per
+# conditional on v5e (layout conversions + pipeline serialization at the
+# branch boundaries — measured 6.2 vs 8.6 f/s end to end with 18 conds).
+# Under `collect_coverage_flags()` the wrappers skip the conditionals,
+# return the kernel results directly, and append their traced ok scalars
+# to the sink; the caller folds them into its outputs and REPLAYS through
+# the safe (conditional) program in the rare case a flag trips.
+
+_FLAG_SINK: list | None = None
+
+
+class collect_coverage_flags:
+    """Trace-time context: kernels run unconditionally; their coverage-ok
+    scalars are appended here instead of guarding lax.cond fallbacks."""
+
+    def __enter__(self):
+        global _FLAG_SINK
+        self._prev = _FLAG_SINK
+        _FLAG_SINK = []
+        return self
+
+    def __exit__(self, *exc):
+        global _FLAG_SINK
+        self.flags = _FLAG_SINK
+        _FLAG_SINK = self._prev
+        return False
+
+    def all_ok(self):
+        import operator
+        from functools import reduce
+
+        if not self.flags:
+            return jnp.bool_(True)
+        return reduce(operator.and_, self.flags)
+
+
+# --------------------------------------------------------------------------
 # cursor-walk sorted lookup
 # --------------------------------------------------------------------------
 
@@ -119,13 +159,18 @@ def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int,
             use = (beyond[:, None] & (lane < stride)) | final[:, None]
             cnt = cnt + jnp.sum((lt & use).astype(jnp.int32), axis=1)
             # matches lie in the final window: select perm values through
-            # the equality masks (keys distinct -> at most one lane each)
+            # the equality masks, restricted to the FIRST matching lane —
+            # duplicate keys (e.g. duplicate voxel coords in un-deduped
+            # input) are adjacent in the sorted table and searchsorted
+            # side='left' resolves to the first
             prow = perm_ref[pl.ds(r, 1), :].astype(jnp.float32)
+            dup_prev = row == pltpu.roll(row, 1, axis=1)  # (1, W)
+            first_lane = ~dup_prev | (lane[:1, :] == 0)
             new_fvals = []
             new_fnds = []
             for j, d in enumerate(deltas):
                 fnd = fnds[j] > 0
-                eq = (row == (q + d)[:, None]) & final[:, None]
+                eq = (row == (q + d)[:, None]) & final[:, None] & first_lane
                 hit = jnp.any(eq, axis=1)
                 pv = jnp.sum(jnp.where(eq, prow, 0.0), axis=1).astype(jnp.int32)
                 new_fvals.append(jnp.where(hit & ~fnd, pv, fvals[j]))
@@ -212,6 +257,9 @@ def windowed_lookup(sorted_keys, perm, query, interpret: bool | None = None):
     def xla_path(_):
         return _xla_lookup(sorted_keys, perm, query)
 
+    if _FLAG_SINK is not None:
+        _FLAG_SINK.append(~jnp.any(pos < 0))
+        return jnp.where(pos[:M] < 0, V, pos[:M])
     return jax.lax.cond(
         jnp.any(pos < 0), xla_path, lambda _: pos[:M], None
     )
@@ -232,7 +280,20 @@ def _lookup_run(sorted_keys, perm, query, triple: bool, interpret: bool):
     V = sorted_keys.shape[0]
     M, K = query.shape
     Mp = ((M + TILE - 1) // TILE) * TILE
-    q = jnp.full((Mp, K), SENTINEL, jnp.int32).at[:M].set(query.astype(jnp.int32))
+    # queries beyond the table's last key can never match; mapping them to
+    # SENTINEL up front keeps the cursor walk bounded (a SATURATED table —
+    # valid rows == capacity, no filler tail — would otherwise force a
+    # whole-table hop walk for out-of-range taps, e.g. dz=+1 queries when
+    # the capacity truncated every higher z-plane)
+    hi = sorted_keys[V - 1].astype(jnp.int32)
+    # triple mode probes q-1 too: a center at hi+1 still has a real q-1
+    # match, so the clamp threshold shifts by one (guarded against int32
+    # overflow when the table tail is already SENTINEL)
+    lim = jnp.where(hi == SENTINEL, SENTINEL,
+                    hi + (1 if triple else 0)).astype(jnp.int32)
+    qc = jnp.where(query.astype(jnp.int32) > lim, SENTINEL,
+                   query.astype(jnp.int32))
+    q = jnp.full((Mp, K), SENTINEL, jnp.int32).at[:M].set(qc)
     R = (V + TILE - 1) // TILE + 1
     flat_len = R * TILE + 2 * TILE
     # leading GUARD element: widened row r's lane 0 = keys[128r - 1], the
@@ -273,6 +334,9 @@ def windowed_lookup_triple(sorted_keys, perm, centers,
         ).reshape(M, 3 * G)
         return _xla_lookup(sorted_keys, perm, q3)
 
+    if _FLAG_SINK is not None:
+        _FLAG_SINK.append(~jnp.any(pos < 0))
+        return jnp.where(pos[:M] < 0, V, pos[:M])
     return jax.lax.cond(
         jnp.any(pos < 0), xla_path, lambda _: pos[:M], None
     )
@@ -306,7 +370,9 @@ def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int,
         p = pos_ref[:, k]
         found = p < V
         lo = jnp.min(jnp.where(found, p, INT_MAX))
-        base = jnp.clip(jnp.where(jnp.any(found), lo, 0), 0, Vp - W)
+        # 8-aligned base: aligned sublane slices are pure addressing on
+        # TPU, unaligned ones pay a shift proportional to W*C
+        base = jnp.clip(jnp.where(jnp.any(found), lo & ~7, 0), 0, Vp - W)
         win = tab_ref[pl.ds(base, W), :]  # (W, C)
         loc = jnp.where(found, p - base, W)
         loc = jnp.where(loc < W, loc, W)
@@ -318,9 +384,11 @@ def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int,
         if NWIN == 2:
             far = found & (p >= base + W)
             lo2 = jnp.min(jnp.where(far, p, INT_MAX))
-            base2 = jnp.clip(jnp.where(jnp.any(far), lo2, 0), 0, Vp - W)
+            base2 = jnp.clip(
+                jnp.where(jnp.any(far), lo2 & ~7, 0), 0, Vp - W
+            )
             win2 = tab_ref[pl.ds(base2, W), :]
-            loc2 = jnp.where(far, p - base2, W)
+            loc2 = jnp.where(far & (p >= base2), p - base2, W)
             loc2 = jnp.where(loc2 < W, loc2, W)
             oh2 = (loc2[:, None] == lanes).astype(dt)
             rows = rows + jax.lax.dot_general(
@@ -408,11 +476,11 @@ def windowed_gather_matmul(
     g = jnp.full((Mp, K), V, jnp.int32).at[:M].set(gather)
     gt = g.reshape(T, TILE, K)
     ft = gt < V
-    lo = jnp.min(jnp.where(ft, gt, INT_MAX), axis=1)  # (T, K)
+    lo = jnp.min(jnp.where(ft, gt, INT_MAX), axis=1) & ~7  # (T, K) aligned
     in1 = ft & (gt - lo[:, None, :] < W)  # covered by the first window
     if nwin == 2:
         far = ft & ~in1
-        lo2 = jnp.min(jnp.where(far, gt, INT_MAX), axis=1)
+        lo2 = jnp.min(jnp.where(far, gt, INT_MAX), axis=1) & ~7
         covered = in1 | (far & (gt - lo2[:, None, :] < W))
     else:
         covered = in1
@@ -425,4 +493,7 @@ def windowed_gather_matmul(
         return _conv_call(g, tab_pad, w, V=V, W=W, NWIN=nwin,
                           interpret=bool(interpret))[:M]
 
+    if _FLAG_SINK is not None:
+        _FLAG_SINK.append(ok)
+        return pallas_path(None)
     return jax.lax.cond(ok, pallas_path, xla_path, None)

@@ -359,15 +359,13 @@ def strided_conv_apply(
     compute_dtype=None,
     use_pallas: bool = False,
 ) -> SparseTensor:
-    # A strided conv reads ~capacity_in/capacity_out input rows per output
-    # row; widen the Pallas table window proportionally, and use the
-    # adaptive second window (nwin=2) for output tiles that straddle a
-    # z-plane boundary, where positions are BIMODAL ~an input plane apart
-    # (the coverage check still guards exactness).
-    ratio = st.capacity / max(1, plan.coords.shape[0])
-    window = 256 * max(1, int(np.ceil(0.8 * ratio)))
+    # Strided-conv tiles that straddle a z-plane boundary see BIMODAL
+    # gather positions ~an input plane apart, with tiny per-cluster spans
+    # (p99 ~32 rows measured): the adaptive second window (nwin=2) covers
+    # the far cluster, so the base window stays small (the coverage check
+    # still guards exactness).
     out = _gathered_matmul(st.feats, plan.gather, weight, compute_dtype,
-                           use_pallas, window=window, nwin=2)
+                           use_pallas, window=256, nwin=2)
     if bias is not None:
         out = out + bias
     out = jnp.where(plan.valid[:, None], out, 0.0)

@@ -163,7 +163,7 @@ def run_affinity_eval_batched(
     B = batch
     F = cfg.num_point * cfg.share_conv_channel
 
-    def step(variables, frame, reset, n_prev, n_curr, prev_boxes, prev_feat):
+    def body(variables, frame, reset, n_prev, n_curr, prev_boxes, prev_feat):
         rz = reset[:, None, None]
         prev_feat = jnp.where(rz, 0.0, prev_feat)
         prev_boxes = jnp.where(rz, 0.0, prev_boxes)
@@ -183,7 +183,45 @@ def run_affinity_eval_batched(
         )(m1, m2, n_prev, n_curr)
         return curr_feat, dec
 
-    jit_step = jax.jit(step)
+    def make_step(fast: bool):
+        def step(variables, frame, reset, n_prev, n_curr, prev_boxes,
+                 prev_feat):
+            if fast:
+                from ..ops.pallas.window_conv import collect_coverage_flags
+
+                with collect_coverage_flags() as fl:
+                    curr_feat, dec = body(variables, frame, reset, n_prev,
+                                          n_curr, prev_boxes, prev_feat)
+                ok = fl.all_ok()
+            else:
+                curr_feat, dec = body(variables, frame, reset, n_prev,
+                                      n_curr, prev_boxes, prev_feat)
+                ok = jnp.bool_(True)
+            # ONE packed host-bound array per step (each device->host
+            # fetch is a full RPC round trip on a tunneled TPU)
+            packed = jnp.stack([
+                dec.dead.astype(jnp.float32),
+                dec.fn.astype(jnp.float32),
+                dec.fn_ref_score,
+                dec.keep.astype(jnp.float32),
+                dec.newborn.astype(jnp.float32),
+                dec.ref_score,
+                jnp.broadcast_to(
+                    ok.astype(jnp.float32), dec.keep.shape
+                ),
+            ], axis=1)  # (B, 7, N)
+            return curr_feat, packed
+        return step
+
+    jit_step = jax.jit(make_step(True))
+    jit_step_safe = jax.jit(make_step(False))  # compiled only if a flag trips
+
+    def unpack_dec(packed_np, li):
+        p = packed_np[li]
+        return {
+            "dead": p[0] > 0.5, "fn": p[1] > 0.5, "fn_ref": p[2],
+            "keep": p[3] > 0.5, "newborn": p[4] > 0.5, "ref": p[5],
+        }
 
     # group the frame-ordered dataset into scenes (prev_token == '' starts)
     samples = [dataset[i] for i in range(len(dataset))]
@@ -198,6 +236,7 @@ def run_affinity_eval_batched(
 
     nusc_annos: dict[str, Any] = {"results": {}, "meta": None}
     dead_tracker: dict[str, dict] = {}
+    flagged_scenes: set[int] = set()
     prev_feat = jnp.zeros((B, cfg.max_obj, F))
     prev_boxes = jnp.zeros((B, cfg.max_obj, 11))
     n_prev = np.zeros((B,), np.int32)
@@ -231,15 +270,13 @@ def run_affinity_eval_batched(
         batch_np = collate([s if s is not None else template for s in lane_samples])
         frame = {k: jnp.asarray(batch_np[k]) for k in keys}
 
-        curr_feat, dec = jit_step(
+        curr_feat, packed = jit_step(
             variables, frame, jnp.asarray(resets), jnp.asarray(n_prev),
             jnp.asarray(n_currs, jnp.int32), prev_boxes, prev_feat,
         )
-        dec_np = {
-            "dead": np.asarray(dec.dead), "fn": np.asarray(dec.fn),
-            "fn_ref": np.asarray(dec.fn_ref_score), "keep": np.asarray(dec.keep),
-            "newborn": np.asarray(dec.newborn), "ref": np.asarray(dec.ref_score),
-        }
+        packed_np = np.asarray(packed)
+        if packed_np[0, 6, 0] <= 0.5:  # a Pallas coverage flag tripped
+            flagged_scenes.update(si for si in lane_scene if si >= 0)
         prev_feat = curr_feat
         prev_boxes = frame["det_boxes"]
         n_prev = np.asarray(n_currs, np.int32)
@@ -249,7 +286,7 @@ def run_affinity_eval_batched(
             if s is None:
                 continue
             _assemble_frame_annos(
-                s, {k: v[li] for k, v in dec_np.items()}, nusc_annos, dead_tracker
+                s, unpack_dec(packed_np, li), nusc_annos, dead_tracker
             )
             done += 1
             if bar:
@@ -261,6 +298,29 @@ def run_affinity_eval_batched(
     if bar:
         bar.close()
     assert done == total
+
+    # REPLAY scenes that were in flight when a coverage flag tripped,
+    # through the safe (in-graph fallback) program — lane 0 active only.
+    for si in sorted(flagged_scenes):
+        for s in scenes[si]:
+            nusc_annos["results"].pop(s["token"], None)
+            dead_tracker.pop(s["token"], None)
+        pf = jnp.zeros((B, cfg.max_obj, F))
+        pb = jnp.zeros((B, cfg.max_obj, 11))
+        npv = np.zeros((B,), np.int32)
+        for pos, s in enumerate(scenes[si]):
+            batch_np = collate([s] * B)
+            frame = {k: jnp.asarray(batch_np[k]) for k in keys}
+            n_c = len(s["cls_det_boxes"])
+            cf, packed = jit_step_safe(
+                variables, frame, jnp.asarray([pos == 0] * B),
+                jnp.asarray(npv), jnp.asarray([n_c] * B, jnp.int32), pb, pf,
+            )
+            _assemble_frame_annos(
+                s, unpack_dec(np.asarray(packed), 0), nusc_annos, dead_tracker
+            )
+            pf, pb, npv = cf, frame["det_boxes"], np.full((B,), n_c, np.int32)
+
     return _finalize_annos(nusc_annos, dead_tracker)
 
 

@@ -207,6 +207,77 @@ def test_windowed_lookup_multi_hop_density_shift(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_windowed_lookup_queried_duplicate_keys(rng):
+    """Duplicate keys that are ACTUALLY QUERIED (e.g. duplicate voxel
+    coords in un-deduped input) must resolve to the first duplicate like
+    searchsorted side='left' — the compiled kernel's eq-select once
+    summed both lanes (caught on-chip: pallas=2p+1 vs xla=p)."""
+    V = 640
+    base = np.sort(rng.choice(30000, size=V - 60, replace=False))
+    dups = rng.choice(base, size=60, replace=False)  # 60 duplicated keys
+    keys = np.sort(np.concatenate([base, dups])).astype(np.int32)
+    perm = np.arange(V, dtype=np.int32)
+    qs = [np.sort(np.concatenate([
+        dups, keys[rng.integers(0, V, 240)],
+    ])).astype(np.int32) for _ in range(3)]
+    q = np.stack(qs, 1)
+    want = sp._sorted_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q))
+    got = windowed_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # and through the triple path
+    from shasta_tpu.ops.pallas.window_conv import windowed_lookup_triple
+
+    got3 = windowed_lookup_triple(jnp.asarray(keys), jnp.asarray(perm),
+                                  jnp.asarray(q))
+    real = q != SENTINEL
+    q3 = np.stack([np.where(real, q - 1, SENTINEL), q,
+                   np.where(real, q + 1, SENTINEL)], axis=-1).reshape(q.shape[0], -1)
+    want3 = sp._sorted_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q3))
+    np.testing.assert_array_equal(np.asarray(got3), np.asarray(want3))
+
+
+def test_coverage_flag_sink(rng):
+    """Under collect_coverage_flags the wrappers skip the lax.cond
+    fallbacks, return sanitized results, and record traced ok scalars —
+    False exactly when the guarded path would have fallen back."""
+    from shasta_tpu.ops.pallas.window_conv import collect_coverage_flags
+
+    V = 512
+    keys = np.sort(rng.choice(50000, size=V, replace=False)).astype(np.int32)
+    perm = np.arange(V, dtype=np.int32)
+    good_q = np.sort(keys[rng.integers(0, V, (300, 3))], axis=0).astype(np.int32)
+    bad_q = rng.integers(0, 50000, size=(300, 3)).astype(np.int32)  # unsorted
+
+    with collect_coverage_flags() as fl:
+        out_good = windowed_lookup(jnp.asarray(keys), jnp.asarray(perm),
+                                   jnp.asarray(good_q))
+        out_bad = windowed_lookup(jnp.asarray(keys), jnp.asarray(perm),
+                                  jnp.asarray(bad_q))
+    assert len(fl.flags) == 2
+    assert bool(fl.flags[0]) is True
+    assert bool(fl.flags[1]) is False
+    assert not bool(fl.all_ok())
+    # sanitized: no -1 markers leak to consumers
+    assert np.asarray(out_bad).min() >= 0
+    ref = sp._sorted_lookup(jnp.asarray(keys), jnp.asarray(perm),
+                            jnp.asarray(good_q))
+    np.testing.assert_array_equal(np.asarray(out_good), np.asarray(ref))
+
+    # conv wrapper: flag False on scattered indices, True on monotone
+    feats = rng.normal(size=(V, 8)).astype(np.float32)
+    w = rng.normal(size=(3, 8, 8)).astype(np.float32)
+    with collect_coverage_flags() as fl2:
+        windowed_gather_matmul(jnp.asarray(feats),
+                               jnp.asarray(_monotone_gather(rng, V, 256, 3)),
+                               jnp.asarray(w))
+        windowed_gather_matmul(
+            jnp.asarray(feats),
+            jnp.asarray(rng.integers(0, V, (256, 3)).astype(np.int32)),
+            jnp.asarray(w))
+    assert bool(fl2.flags[0]) is True
+    assert bool(fl2.flags[1]) is False
+
+
 def test_windowed_lookup_fallback_on_unsorted(rng):
     """Unsorted query columns overflow the cursor window -> exact XLA
     fallback."""

@@ -348,7 +348,7 @@ def windowed_lookup_triple(sorted_keys, perm, centers,
 
 
 def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int,
-                 NWIN: int):
+                 NWIN: int, ALIGN: int):
     """grid (T,). pos_ref (TILE, K) int32 gather rows (>= V is a miss);
     tab_ref (Vp, C) resident features; w_ref (K, C, Co); out (TILE, Co).
 
@@ -370,9 +370,14 @@ def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int,
         p = pos_ref[:, k]
         found = p < V
         lo = jnp.min(jnp.where(found, p, INT_MAX))
-        # 8-aligned base: aligned sublane slices are pure addressing on
-        # TPU, unaligned ones pay a shift proportional to W*C
-        base = jnp.clip(jnp.where(jnp.any(found), lo & ~7, 0), 0, Vp - W)
+        # Tile-aligned base (8 rows f32, 16 bf16): aligned sublane slices
+        # are pure addressing on TPU — and for packed dtypes Mosaic
+        # REQUIRES provable alignment (hence the multiple_of hint)
+        # clip bound aligned too, so the multiple_of promise always holds
+        # (it never binds in practice: lo <= V-1 and Vp = V + W)
+        base = jnp.clip(jnp.where(jnp.any(found), lo & ~(ALIGN - 1), 0),
+                        0, (Vp - W) & ~(ALIGN - 1))
+        base = pl.multiple_of(base, ALIGN)
         win = tab_ref[pl.ds(base, W), :]  # (W, C)
         loc = jnp.where(found, p - base, W)
         loc = jnp.where(loc < W, loc, W)
@@ -385,8 +390,10 @@ def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int,
             far = found & (p >= base + W)
             lo2 = jnp.min(jnp.where(far, p, INT_MAX))
             base2 = jnp.clip(
-                jnp.where(jnp.any(far), lo2 & ~7, 0), 0, Vp - W
+                jnp.where(jnp.any(far), lo2 & ~(ALIGN - 1), 0),
+                0, (Vp - W) & ~(ALIGN - 1),
             )
+            base2 = pl.multiple_of(base2, ALIGN)
             win2 = tab_ref[pl.ds(base2, W), :]
             loc2 = jnp.where(far & (p >= base2), p - base2, W)
             loc2 = jnp.where(loc2 < W, loc2, W)
@@ -402,14 +409,15 @@ def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int,
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("V", "W", "NWIN", "interpret"))
-def _conv_call(pos, tab_pad, weight, V: int, W: int, NWIN: int,
+@functools.partial(jax.jit,
+                   static_argnames=("V", "W", "NWIN", "ALIGN", "interpret"))
+def _conv_call(pos, tab_pad, weight, V: int, W: int, NWIN: int, ALIGN: int,
                interpret: bool):
     Mp, K = pos.shape
     Co = weight.shape[2]
     T = Mp // TILE
     return pl.pallas_call(
-        functools.partial(_conv_kernel, W=W, V=V, NWIN=NWIN),
+        functools.partial(_conv_kernel, W=W, V=V, NWIN=NWIN, ALIGN=ALIGN),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((TILE, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
@@ -470,17 +478,20 @@ def windowed_gather_matmul(
         # (N, C<128) arrays occupy full 128-lane vregs in VMEM
         return xla_path(None)
 
+    # window bases are tile-aligned (8 rows f32, 16 bf16 — Mosaic needs
+    # provable alignment for packed dtypes); the coverage check mirrors it
+    align = 8 * 4 // jnp.dtype(dt).itemsize
     Mp = ((M + TILE - 1) // TILE) * TILE
     T = Mp // TILE
     INT_MAX = jnp.iinfo(jnp.int32).max
     g = jnp.full((Mp, K), V, jnp.int32).at[:M].set(gather)
     gt = g.reshape(T, TILE, K)
     ft = gt < V
-    lo = jnp.min(jnp.where(ft, gt, INT_MAX), axis=1) & ~7  # (T, K) aligned
+    lo = jnp.min(jnp.where(ft, gt, INT_MAX), axis=1) & ~(align - 1)  # (T, K)
     in1 = ft & (gt - lo[:, None, :] < W)  # covered by the first window
     if nwin == 2:
         far = ft & ~in1
-        lo2 = jnp.min(jnp.where(far, gt, INT_MAX), axis=1) & ~7
+        lo2 = jnp.min(jnp.where(far, gt, INT_MAX), axis=1) & ~(align - 1)
         covered = in1 | (far & (gt - lo2[:, None, :] < W))
     else:
         covered = in1
@@ -490,7 +501,7 @@ def windowed_gather_matmul(
     w = weight.astype(dt)
 
     def pallas_path(_):
-        return _conv_call(g, tab_pad, w, V=V, W=W, NWIN=nwin,
+        return _conv_call(g, tab_pad, w, V=V, W=W, NWIN=nwin, ALIGN=align,
                           interpret=bool(interpret))[:M]
 
     if _FLAG_SINK is not None:

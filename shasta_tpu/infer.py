@@ -168,8 +168,13 @@ class ScenePipeline:
         # det-major slots now hold 2N rows (curr dets + FN injections)
         self.cap = self.track_cap or 2 * N * (self.params.max_age + 1)
 
-        def body(variables, frame, n_prev, n_curr, prev_boxes, prev_feat,
-                 table, id_count, time_lag):
+        def body(variables, frame, scalars, prev_boxes, prev_feat,
+                 table, id_count):
+            # scalars (3,) f32 [n_prev, n_curr, time_lag]: ONE host->device
+            # put per step instead of three (each put is a relay RPC)
+            n_prev = scalars[0].astype(jnp.int32)
+            n_curr = scalars[1].astype(jnp.int32)
+            time_lag = scalars[2]
             curr_feat = self.model.apply(
                 variables, frame, train=False, method=ShastaModel.frame_features
             )
@@ -196,10 +201,10 @@ class ScenePipeline:
             return curr_feat, dec, table, id_count, tid, used, ref
 
         def make_step(fast: bool):
-            def step(variables, frame, n_prev, n_curr, prev_boxes, prev_feat,
-                     table, id_count, time_lag):
-                args = (variables, frame, n_prev, n_curr, prev_boxes,
-                        prev_feat, table, id_count, time_lag)
+            def step(variables, frame, scalars, prev_boxes, prev_feat,
+                     table, id_count):
+                args = (variables, frame, scalars, prev_boxes,
+                        prev_feat, table, id_count)
                 if fast:
                     # conditional-free kernels: coverage flags ride the
                     # packed output; a tripped flag means this frame must
@@ -236,7 +241,7 @@ class ScenePipeline:
         cfg = self.model.cfg
         self._prev_feat = jnp.zeros((1, cfg.max_obj, cfg.num_point * cfg.share_conv_channel))
         self._prev_boxes = jnp.zeros((1, cfg.max_obj, 11))
-        self._n_prev = jnp.int32(0)
+        self._n_prev = 0  # host-side: n_curr is always host-known
         self._table = st.TrackTable.empty(self.cap)
         self._id_count = jnp.int32(0)
 
@@ -251,14 +256,16 @@ class ScenePipeline:
         pathological window spans or unsorted voxel tables)."""
         frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
         step_fn = self._step_safe if safe else self._step
+        scalars = jnp.asarray(
+            [float(self._n_prev), float(n_curr), float(time_lag)], jnp.float32
+        )
         curr_feat, packed, table, id_count = step_fn(
-            self.variables, frame, self._n_prev, jnp.int32(n_curr),
+            self.variables, frame, scalars,
             self._prev_boxes, self._prev_feat, self._table, self._id_count,
-            jnp.float32(time_lag),
         )
         self._prev_feat = curr_feat
         self._prev_boxes = frame["det_boxes"]
-        self._n_prev = jnp.int32(n_curr)
+        self._n_prev = int(n_curr)
         self._table = table
         self._id_count = id_count
         return StepOutput(packed=packed, N=self.model.cfg.max_obj)
@@ -310,8 +317,14 @@ class BatchedScenePipeline:
             )
             return table, id_count, tid, used, ref, dec.keep, dec.fn
 
-        def body(variables, frame, reset, n_prev, n_curr, prev_boxes,
-                 prev_feat, tables, id_counts, lags):
+        def body(variables, frame, scalars, prev_boxes,
+                 prev_feat, tables, id_counts):
+            # scalars (4, B) f32 [reset, n_prev, n_curr, lags]: ONE
+            # host->device put per step instead of three relay RPCs
+            reset = scalars[0] > 0.5
+            n_prev = scalars[1].astype(jnp.int32)
+            n_curr = scalars[2].astype(jnp.int32)
+            lags = scalars[3]
             # zero carried state for lanes starting a new scene
             rz = reset[:, None, None]
             prev_feat = jnp.where(rz, 0.0, prev_feat)
@@ -373,7 +386,7 @@ class BatchedScenePipeline:
             (B, cfg.max_obj, cfg.num_point * cfg.share_conv_channel)
         )
         self._prev_boxes = jnp.zeros((B, cfg.max_obj, 11))
-        self._n_prev = jnp.zeros((B,), jnp.int32)
+        self._n_prev = np.zeros((B,), np.int32)  # host-side
         self._tables = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(),
             st.TrackTable.empty(self.cap),
@@ -392,14 +405,19 @@ class BatchedScenePipeline:
         for the safe/coverage_ok contract."""
         frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
         step_fn = self._step_safe if safe else self._step
+        scalars = jnp.asarray(np.stack([
+            np.asarray(reset, np.float32),
+            self._n_prev.astype(np.float32),
+            np.asarray(n_curr, np.float32),
+            np.asarray(time_lags, np.float32),
+        ]))
         curr_feat, tables, id_counts, packed = step_fn(
-            self.variables, frame, jnp.asarray(reset), self._n_prev,
-            jnp.asarray(n_curr, jnp.int32), self._prev_boxes, self._prev_feat,
-            self._tables, self._id_counts, jnp.asarray(time_lags, jnp.float32),
+            self.variables, frame, scalars, self._prev_boxes, self._prev_feat,
+            self._tables, self._id_counts,
         )
         self._prev_feat = curr_feat
         self._prev_boxes = frame["det_boxes"]
-        self._n_prev = jnp.asarray(n_curr, jnp.int32)
+        self._n_prev = np.asarray(n_curr, np.int32)
         self._tables = tables
         self._id_counts = id_counts
         return StepOutput(packed=packed, N=self.model.cfg.max_obj)

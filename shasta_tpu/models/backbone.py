@@ -72,8 +72,11 @@ class SubMConv(nn.Module):
             (K, C, self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        # backbone tensors are frame-major fixed-capacity: lane-split the
+        # Pallas kernels per batch element so each lane's table fits VMEM
         return sp.subm_conv_apply(st, index, w, b, compute_dtype=self.dtype,
-                                  use_pallas=self.use_pallas)
+                                  use_pallas=self.use_pallas,
+                                  lanes=st.batch_size if self.use_pallas else 1)
 
 
 class SparseBasicBlock(nn.Module):
@@ -109,9 +112,10 @@ class StridedConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, st, train: bool = False, table=None):
+        lanes = st.batch_size if self.use_pallas else 1
         plan = sp.build_strided_plan(
             st, self.kernel, self.stride, self.padding, self.max_out,
-            table=table, use_pallas=self.use_pallas,
+            table=table, use_pallas=self.use_pallas, lanes=lanes,
         )
         K = int(self.kernel[0] * self.kernel[1] * self.kernel[2])
         C = st.feats.shape[-1]
@@ -121,7 +125,8 @@ class StridedConvBNReLU(nn.Module):
             (K, C, self.features),
         )
         out = sp.strided_conv_apply(st, plan, w, None, compute_dtype=self.dtype,
-                                    use_pallas=self.use_pallas)  # bias=False (scn.py:126)
+                                    use_pallas=self.use_pallas,
+                                    lanes=lanes)  # bias=False (scn.py:126)
         f = SparseBN(axis_name=self.bn_axis_name, name="bn")(out.feats, out.valid, train)
         return out._replace(feats=nn.relu(f))
 
@@ -163,7 +168,9 @@ class SparseBackbone(nn.Module):
                 t0 = sp.key_table_checked(st)  # guarded: sorts only if needed
             else:
                 t0 = sp.key_table(st)
-            idx0 = sp.build_subm_index(st, table=t0, use_pallas=self.use_pallas)
+            lanes = st.batch_size if self.use_pallas else 1
+            idx0 = sp.build_subm_index(st, table=t0, use_pallas=self.use_pallas,
+                                       lanes=lanes)
             w = self.param(
                 "conv_input_kernel",
                 nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
@@ -179,14 +186,14 @@ class SparseBackbone(nn.Module):
         with jax.named_scope("bb_stage1"):
             x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, name="down1")(x, train, table=t0)
             t1 = sp.key_table_presorted(x)
-            idx1 = sp.build_subm_index(x, table=t1, use_pallas=self.use_pallas)
+            idx1 = sp.build_subm_index(x, table=t1, use_pallas=self.use_pallas, lanes=lanes)
             x = SparseBasicBlock(32, **bn, name="res1a")(x, idx1, train)
             x = SparseBasicBlock(32, **bn, name="res1b")(x, idx1, train)
 
         with jax.named_scope("bb_stage2"):
             x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, name="down2")(x, train, table=t1)
             t2 = sp.key_table_presorted(x)
-            idx2 = sp.build_subm_index(x, table=t2, use_pallas=self.use_pallas)
+            idx2 = sp.build_subm_index(x, table=t2, use_pallas=self.use_pallas, lanes=lanes)
             x = SparseBasicBlock(64, **bn, name="res2a")(x, idx2, train)
             x = SparseBasicBlock(64, **bn, name="res2b")(x, idx2, train)
 
@@ -194,7 +201,7 @@ class SparseBackbone(nn.Module):
             # conv4 (z unpadded: padding (0,1,1), scn.py:146)
             x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, name="down3")(x, train, table=t2)
             t3 = sp.key_table_presorted(x)
-            idx3 = sp.build_subm_index(x, table=t3, use_pallas=self.use_pallas)
+            idx3 = sp.build_subm_index(x, table=t3, use_pallas=self.use_pallas, lanes=lanes)
             x = SparseBasicBlock(128, **bn, name="res3a")(x, idx3, train)
             x = SparseBasicBlock(128, **bn, name="res3b")(x, idx3, train)
 

@@ -239,18 +239,56 @@ def _widen(flat: jnp.ndarray, R: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)
 
 
-def windowed_lookup(sorted_keys, perm, query, interpret: bool | None = None):
+def _lane_split(sorted_keys, perm, query, lanes: int):
+    """Static per-lane slices for frame-major fixed-capacity tables.
+
+    Each lane (batch element) owns EXACTLY V//lanes consecutive sorted
+    positions: per-frame capacities are static and padded rows carry their
+    frame's filler key (ops.sparse.encode_keys), so the global sort never
+    mixes lanes. Query rows are lane-major chunks of M//lanes for the same
+    reason. Returns per-lane (keys, local_perm, queries) triples."""
+    V = sorted_keys.shape[0]
+    M = query.shape[0]
+    V1, M1 = V // lanes, M // lanes
+    out = []
+    for b in range(lanes):
+        kb = jax.lax.slice_in_dim(sorted_keys, b * V1, (b + 1) * V1)
+        pb = jax.lax.slice_in_dim(perm, b * V1, (b + 1) * V1) - b * V1
+        qb = jax.lax.slice_in_dim(query, b * M1, (b + 1) * M1)
+        out.append((kb, pb, qb))
+    return out
+
+
+def _lanes_usable(V: int, M: int, lanes: int) -> bool:
+    return lanes > 1 and V % lanes == 0 and M % lanes == 0
+
+
+def windowed_lookup(sorted_keys, perm, query, interpret: bool | None = None,
+                    lanes: int = 1):
     """Drop-in for ops.sparse._sorted_lookup on 2D per-tap-monotone queries.
 
     sorted_keys (V,) ascending with SENTINEL tail; perm (V,) argsort
     indices; query (M, K) int32. Returns (M, K) int32 in [0, V], V = miss.
     Exact for any input: tiles that violate the window assumption flag an
     overflow and the whole lookup falls back to the XLA path.
+
+    lanes > 1 splits the table and queries into per-lane (batch-element)
+    chunks and runs one kernel per lane — each lane's table then fits the
+    VMEM residency budget at multi-frame batch sizes.
     """
     if interpret is None:
         interpret = _interpret_default()
     V = sorted_keys.shape[0]
     M, K = query.shape
+    if _lanes_usable(V, M, lanes):
+        V1 = V // lanes
+        parts = []
+        for b, (kb, pb, qb) in enumerate(
+            _lane_split(sorted_keys, perm, query, lanes)
+        ):
+            r = windowed_lookup(kb, pb, qb, interpret=interpret)
+            parts.append(jnp.where(r < V1, r + b * V1, V))
+        return jnp.concatenate(parts, axis=0)
     pos = _lookup_run(sorted_keys, perm, query, triple=False,
                       interpret=bool(interpret))
 
@@ -309,7 +347,7 @@ def _lookup_run(sorted_keys, perm, query, triple: bool, interpret: bool):
 
 
 def windowed_lookup_triple(sorted_keys, perm, centers,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None, lanes: int = 1):
     """Resolve perm[pos] for (c-1, c, c+1) per center query in one pass.
 
     The dx taps of a 3x3x3 stencil differ by exactly 1 in linear key, so
@@ -317,11 +355,21 @@ def windowed_lookup_triple(sorted_keys, perm, centers,
     variants fall out of the same windows. centers (M, G) monotone per
     column; returns (M, 3G) in (g, dx) raster order (== the full tap
     raster when G iterates (dz, dy)). Falls back to the XLA path on the
-    expanded queries when any tile flags."""
+    expanded queries when any tile flags. lanes > 1: per-lane kernels
+    (see windowed_lookup)."""
     if interpret is None:
         interpret = _interpret_default()
     V = sorted_keys.shape[0]
     M, G = centers.shape
+    if _lanes_usable(V, M, lanes):
+        V1 = V // lanes
+        parts = []
+        for b, (kb, pb, cb) in enumerate(
+            _lane_split(sorted_keys, perm, centers, lanes)
+        ):
+            r = windowed_lookup_triple(kb, pb, cb, interpret=interpret)
+            parts.append(jnp.where(r < V1, r + b * V1, V))
+        return jnp.concatenate(parts, axis=0)
     pos = _lookup_run(sorted_keys, perm, centers, triple=True,
                       interpret=bool(interpret))
 
@@ -442,6 +490,7 @@ def windowed_gather_matmul(
     interpret: bool | None = None,
     window: int | None = None,
     nwin: int = 1,
+    lanes: int = 1,
 ):
     """Drop-in for the XLA im2col gather+matmul (ops.sparse._gathered_matmul).
 
@@ -454,12 +503,31 @@ def windowed_gather_matmul(
     window; the default suits submanifold convs (measured spans: <=139 at
     stage 0, <=~260 at C>=32 stages — hence the C-keyed default).
     nwin=2 adds the adaptive second window for bimodal z-boundary tiles.
+
+    lanes > 1 runs one kernel per lane over that lane's static table/row
+    chunk (frame-major fixed-capacity layout — see _lane_split): the
+    per-lane table fits the VMEM budget where the packed multi-frame
+    table does not (a valid output row only ever gathers rows of its own
+    frame, so lane-local misses are exact).
     """
     if interpret is None:
         interpret = _interpret_default()
     V, C = feats.shape
     M, K = gather.shape
     Co = weight.shape[2]
+    if _lanes_usable(V, M, lanes):
+        V1, M1 = V // lanes, M // lanes
+        parts = []
+        for b in range(lanes):
+            fb = jax.lax.slice_in_dim(feats, b * V1, (b + 1) * V1)
+            gb = jax.lax.slice_in_dim(gather, b * M1, (b + 1) * M1)
+            lb = jnp.where((gb >= b * V1) & (gb < (b + 1) * V1),
+                           gb - b * V1, V1)
+            parts.append(windowed_gather_matmul(
+                fb, lb, weight, compute_dtype=compute_dtype,
+                interpret=interpret, window=window, nwin=nwin,
+            ))
+        return jnp.concatenate(parts, axis=0)
     W = window or (W_CONV if C < 32 else 384)
     dt = compute_dtype or feats.dtype
 

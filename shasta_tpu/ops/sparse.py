@@ -65,7 +65,7 @@ def encode_keys(coords: jnp.ndarray, valid: jnp.ndarray, shape, batch_size) -> j
 
 
 def _sorted_lookup(sorted_keys: jnp.ndarray, perm: jnp.ndarray, query: jnp.ndarray,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False, lanes: int = 1):
     """Find indices of query keys in the original array; miss -> capacity.
 
     sorted_keys: (V,) ascending with SENTINEL tail; perm: argsort indices.
@@ -79,7 +79,7 @@ def _sorted_lookup(sorted_keys: jnp.ndarray, perm: jnp.ndarray, query: jnp.ndarr
     if use_pallas and query.ndim == 2:
         from .pallas.window_conv import windowed_lookup
 
-        return windowed_lookup(sorted_keys, perm, query)
+        return windowed_lookup(sorted_keys, perm, query, lanes=lanes)
     V = sorted_keys.shape[0]
     # method='sort' replaces XLA's serial binary search (log2(V) rounds of
     # latency-bound HBM gathers — measured 414 ms for the stage-0 build on
@@ -149,8 +149,16 @@ def build_subm_index(
     kernel: Sequence[int] = (3, 3, 3),
     table: KeyTable | None = None,
     use_pallas: bool = False,
+    lanes: int = 1,
 ) -> NeighborIndex:
-    """Submanifold neighbor indices: output positions == input positions."""
+    """Submanifold neighbor indices: output positions == input positions.
+
+    lanes > 1 (Pallas path only) splits the lookups into per-lane kernels.
+    The CALLER asserts the layout contract: rows are frame-major with a
+    fixed per-frame capacity (lane b owns rows [b*V/lanes, (b+1)*V/lanes)),
+    so each lane owns exactly V/lanes sorted key positions. True for every
+    backbone-internal tensor; NOT for arbitrary SparseTensors.
+    """
     kz, ky, kx = kernel
     pz, py, px = kz // 2, ky // 2, kx // 2
     Z, Y, X = st.shape
@@ -178,15 +186,18 @@ def build_subm_index(
         # matches where x+-1 wraps into a neighboring y-row's cell
         from .pallas.window_conv import windowed_lookup_triple
 
-        out = windowed_lookup_triple(sorted_keys, perm, qk[:, 1::3])
+        out = windowed_lookup_triple(sorted_keys, perm, qk[:, 1::3],
+                                     lanes=lanes)
         return NeighborIndex(
             gather=jnp.where(in_range, out, st.capacity).astype(jnp.int32)
         )
-    return NeighborIndex(gather=_sorted_lookup(sorted_keys, perm, qk, use_pallas))  # (V, K)
+    return NeighborIndex(gather=_sorted_lookup(sorted_keys, perm, qk, use_pallas,
+                                               lanes=lanes))  # (V, K)
 
 
 def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool,
-                     window: int | None = None, nwin: int = 1):
+                     window: int | None = None, nwin: int = 1,
+                     lanes: int = 1):
     """im2col core shared by subm/strided convs: (M, K) gather of table
     rows -> one (M, K*C) x (K*C, Co) MXU matmul. use_pallas routes through
     the windowed one-hot Pallas kernel (ops/pallas/window_conv — measured
@@ -201,7 +212,7 @@ def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool,
 
         return windowed_gather_matmul(feats, gather, weight,
                                       compute_dtype=compute_dtype,
-                                      window=window, nwin=nwin)
+                                      window=window, nwin=nwin, lanes=lanes)
     padded = jnp.concatenate([feats, jnp.zeros((1, C), feats.dtype)], axis=0)
     gathered = padded[gather]  # (M, K, C)
     return jax.lax.dot_general(
@@ -219,13 +230,15 @@ def subm_conv_apply(
     bias: jnp.ndarray | None = None,
     compute_dtype=None,
     use_pallas: bool = False,
+    lanes: int = 1,
 ) -> SparseTensor:
     """Apply a submanifold conv given precomputed neighbor indices.
 
     compute_dtype=jnp.bfloat16 runs the im2col matmul on the MXU in bf16
     with f32 accumulation (the free TPU win; SURVEY §2.8 mixed precision).
     """
-    out = _gathered_matmul(st.feats, index.gather, weight, compute_dtype, use_pallas)
+    out = _gathered_matmul(st.feats, index.gather, weight, compute_dtype,
+                           use_pallas, lanes=lanes)
     if bias is not None:
         out = out + bias
     out = jnp.where(st.valid[:, None], out, 0.0)
@@ -249,6 +262,7 @@ def build_strided_plan(
     max_out: int,
     table: KeyTable | None = None,
     use_pallas: bool = False,
+    lanes: int = 1,
 ) -> StridedPlan:
     """Exact spconv output set for SparseConv3d (scn.py conv2/3/4/extra).
 
@@ -300,26 +314,61 @@ def build_strided_plan(
     cand = b[:, None] * s_out + cell_out
     cand = jnp.where(ok, cand, SENTINEL).reshape(-1)  # (V*C,)
 
+    # lane_slots > 1: compact into PER-LANE fixed chunks of max_out//B
+    # instead of one global front-packed set. Keeps every lane's rows at a
+    # static offset, which is what lets the Pallas kernels run one
+    # VMEM-resident table per lane at multi-frame batch sizes (the global
+    # layout has dynamic lane boundaries). The emitted keys stay globally
+    # ascending (lane-major chunks, each sorted, fillers between lanes),
+    # so key_table_presorted still applies. Per-frame slot budgets also
+    # isolate a dense frame's truncation from its batch peers.
+    lane_slots = (
+        lanes
+        if use_pallas and lanes > 1 and max_out % lanes == 0
+        else 1
+    )
     s = jnp.sort(cand)
     head = (s != jnp.concatenate([jnp.full((1,), -1, s.dtype), s[:-1]])) & (s != SENTINEL)
-    pos = jnp.cumsum(head) - 1
-    out_keys = jnp.full((max_out,), SENTINEL, jnp.int32)
-    write = head & (pos < max_out)
-    out_keys = out_keys.at[jnp.where(write, pos, max_out)].set(
-        jnp.where(write, s, SENTINEL), mode="drop"
-    )
-    out_valid = out_keys != SENTINEL
+    if lane_slots > 1:
+        B = st.batch_size
+        cap_lane = max_out // B
+        ch = jnp.cumsum(head)
+        pos = ch - 1
+        # first sorted position of each lane's key range -> unique count
+        # before the lane (lane b's keys live in [b*s_out, (b+1)*s_out))
+        bnd = jnp.searchsorted(s, jnp.arange(B, dtype=s.dtype) * s_out,
+                               side="left")
+        bases = jnp.where(bnd > 0, ch[jnp.maximum(bnd - 1, 0)], 0)
+        lane = jnp.clip(s // s_out, 0, B - 1)
+        lane_pos = pos - bases[lane]
+        write = head & (lane_pos < cap_lane)
+        target = lane * cap_lane + lane_pos
+        out_keys = jnp.full((max_out,), SENTINEL, jnp.int32)
+        out_keys = out_keys.at[jnp.where(write, target, max_out)].set(
+            jnp.where(write, s, SENTINEL), mode="drop"
+        )
+        out_valid = out_keys != SENTINEL
+        slot_lane = (jnp.arange(max_out, dtype=jnp.int32) // cap_lane)
+    else:
+        pos = jnp.cumsum(head) - 1
+        out_keys = jnp.full((max_out,), SENTINEL, jnp.int32)
+        write = head & (pos < max_out)
+        out_keys = out_keys.at[jnp.where(write, pos, max_out)].set(
+            jnp.where(write, s, SENTINEL), mode="drop"
+        )
+        out_valid = out_keys != SENTINEL
+        slot_lane = jnp.full((max_out,), st.batch_size, jnp.int32)
 
-    # Decode output coords from keys; invalid rows get b = batch_size so
-    # their encode_keys fillers sort after every frame's keys (the sorted-
-    # output invariant key_table_presorted relies on).
+    # Decode output coords from keys; an invalid row's b becomes its
+    # lane's id (per-lane layout: its lane filler keeps the chunk sorted)
+    # or batch_size (global layout: fillers sort after every frame).
     k = jnp.where(out_valid, out_keys, 0)
     rem = k % s_out
     ox = rem % OX
     rem = rem // OX
     oy = rem % OY
     oz = rem // OY
-    ob = jnp.where(out_valid, k // s_out, st.batch_size)
+    ob = jnp.where(out_valid, k // s_out, slot_lane)
     out_coords = jnp.stack(
         [ob, jnp.where(out_valid, oz, 0), jnp.where(out_valid, oy, 0),
          jnp.where(out_valid, ox, 0)],
@@ -344,10 +393,12 @@ def build_strided_plan(
         # build_subm_index): 9 center lookups resolve all 27
         from .pallas.window_conv import windowed_lookup_triple
 
-        out = windowed_lookup_triple(sorted_in, perm, qk[:, 1::3])
+        out = windowed_lookup_triple(sorted_in, perm, qk[:, 1::3],
+                                     lanes=lane_slots)
         gather = jnp.where(in_range, out, st.capacity).astype(jnp.int32)
     else:
-        gather = _sorted_lookup(sorted_in, perm, qk, use_pallas)  # (V_out, K)
+        gather = _sorted_lookup(sorted_in, perm, qk, use_pallas,
+                                lanes=lane_slots)  # (V_out, K)
     return StridedPlan(out_coords, out_valid, gather, out_shape)
 
 
@@ -358,6 +409,7 @@ def strided_conv_apply(
     bias: jnp.ndarray | None = None,
     compute_dtype=None,
     use_pallas: bool = False,
+    lanes: int = 1,
 ) -> SparseTensor:
     # Strided-conv tiles that straddle a z-plane boundary see BIMODAL
     # gather positions ~an input plane apart, with tiny per-cluster spans
@@ -365,7 +417,7 @@ def strided_conv_apply(
     # the far cluster, so the base window stays small (the coverage check
     # still guards exactness).
     out = _gathered_matmul(st.feats, plan.gather, weight, compute_dtype,
-                           use_pallas, window=256, nwin=2)
+                           use_pallas, window=256, nwin=2, lanes=lanes)
     if bias is not None:
         out = out + bias
     out = jnp.where(plan.valid[:, None], out, 0.0)

@@ -83,13 +83,21 @@ def test_sparse_conv_apply_pallas_flag(rng):
     got = sp.subm_conv_apply(st, idx, w, use_pallas=True)
     np.testing.assert_allclose(np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4)
 
+    # B=2 + use_pallas routes the plan through PER-LANE slot compaction
+    # (lane-major row layout) — compare against the global-layout XLA plan
+    # in dense space, where the layouts must agree exactly.
     plan = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1),
                                  max_out=48, use_pallas=True)
     plan_ref = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1), max_out=48)
-    np.testing.assert_array_equal(np.asarray(plan.gather), np.asarray(plan_ref.gather))
     ref = sp.strided_conv_apply(st, plan_ref, w)
     got = sp.strided_conv_apply(st, plan, w, use_pallas=True)
-    np.testing.assert_allclose(np.asarray(got.feats), np.asarray(ref.feats), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sp.to_dense(got)), np.asarray(sp.to_dense(ref)), atol=1e-4
+    )
+    # per-lane layout keeps keys globally ascending (fillers interleaved)
+    keys = np.asarray(sp.encode_keys(plan.coords, plan.valid,
+                                     plan.out_shape, st.batch_size))
+    assert np.all(keys[1:] >= keys[:-1])
 
 
 def test_backbone_pallas_flag_matches_xla(rng):
@@ -106,6 +114,109 @@ def test_backbone_pallas_flag_matches_xla(rng):
     m_pal = ShastaModel(ShastaConfig(use_pallas_gather=True, **kw))
 
     b = make_batch(m_xla.cfg, 1, 128, n_dets=4, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    variables = m_xla.init(jax.random.PRNGKey(0), batch, train=False)
+
+    bev_xla = m_xla.apply(variables, batch, train=False,
+                          method=ShastaModel.bev_single)
+    bev_pal = m_pal.apply(variables, batch, train=False,
+                          method=ShastaModel.bev_single)
+    np.testing.assert_allclose(
+        np.asarray(bev_pal), np.asarray(bev_xla), atol=2e-4
+    )
+
+
+def _make_frame_major(rng, B=2, shape=(6, 10, 10), per_lane_n=(20, 13),
+                      per_lane_cap=32, C=4):
+    """Frame-major fixed-capacity sparse tensor: lane b owns rows
+    [b*cap, (b+1)*cap), padded tail per lane — the backbone's layout
+    contract for per-lane Pallas kernels."""
+    Z, Y, X = shape
+    coords_l, feats_l, valid_l = [], [], []
+    for b in range(B):
+        n = per_lane_n[b]
+        cs = set()
+        while len(cs) < n:
+            cs.add((b, int(rng.integers(Z)), int(rng.integers(Y)),
+                    int(rng.integers(X))))
+        cs = np.array(sorted(cs), np.int32)
+        pad = np.zeros((per_lane_cap - n, 4), np.int32)
+        pad[:, 0] = b  # padded rows carry their frame id (encode_keys filler)
+        coords_l.append(np.concatenate([cs, pad]))
+        f = rng.normal(size=(per_lane_cap, C)).astype(np.float32)
+        f[n:] = 0
+        feats_l.append(f)
+        valid_l.append(np.arange(per_lane_cap) < n)
+    st = sp.SparseTensor(
+        feats=jnp.asarray(np.concatenate(feats_l)),
+        coords=jnp.asarray(np.concatenate(coords_l)),
+        valid=jnp.asarray(np.concatenate(valid_l)),
+        shape=shape,
+        batch_size=B,
+    )
+    return st
+
+
+def test_per_lane_slots_match_global(rng):
+    """lanes>1 on a frame-major tensor: subm index, subm conv, per-lane
+    strided-plan slots, and strided conv all equal the global-layout
+    results (in dense space for the strided path)."""
+    st = _make_frame_major(rng)
+    w = jnp.asarray(rng.normal(size=(27, 4, 8)).astype(np.float32) * 0.2)
+
+    idx = sp.build_subm_index(st, use_pallas=True, lanes=2)
+    idx_ref = sp.build_subm_index(st)
+    np.testing.assert_array_equal(np.asarray(idx.gather),
+                                  np.asarray(idx_ref.gather))
+    got = sp.subm_conv_apply(st, idx, w, use_pallas=True, lanes=2)
+    ref = sp.subm_conv_apply(st, idx_ref, w)
+    np.testing.assert_allclose(np.asarray(got.feats), np.asarray(ref.feats),
+                               atol=1e-4)
+
+    # caps generous enough that NEITHER layout truncates (per-lane slots
+    # change WHICH rows a tight global cap keeps — by design: per-frame
+    # budgets — so truncation regimes are not comparable)
+    MO = 160
+    plan = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                 max_out=MO, use_pallas=True, lanes=2)
+    plan_ref = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                     max_out=MO)
+    gots = sp.strided_conv_apply(st, plan, w, use_pallas=True, lanes=2)
+    refs = sp.strided_conv_apply(st, plan_ref, w)
+    np.testing.assert_allclose(np.asarray(sp.to_dense(gots)),
+                               np.asarray(sp.to_dense(refs)), atol=1e-4)
+    # lane-major chunks: every valid row of lane b sits in slots
+    # [b*MO/2, (b+1)*MO/2) and keys stay globally ascending incl. fillers
+    h = MO // 2
+    v = np.asarray(plan.valid)
+    ob = np.asarray(plan.coords[:, 0])
+    assert np.all(ob[:h][v[:h]] == 0) and np.all(ob[h:][v[h:]] == 1)
+    keys = np.asarray(sp.encode_keys(plan.coords, plan.valid,
+                                     plan.out_shape, st.batch_size))
+    assert np.all(keys[1:] >= keys[:-1])
+    # next-stage index build over the per-lane layout still works
+    t = sp.key_table_presorted(gots)
+    idx2 = sp.build_subm_index(gots, table=t, use_pallas=True, lanes=2)
+    idx2_ref = sp.build_subm_index(gots)
+    np.testing.assert_array_equal(np.asarray(idx2.gather),
+                                  np.asarray(idx2_ref.gather))
+
+
+def test_backbone_pallas_multilane_matches_xla(rng):
+    """B>1 + use_pallas runs per-lane kernels over per-lane table chunks
+    (the multi-frame VMEM-blocking path): BEV maps must equal the XLA
+    path's for every lane."""
+    import jax
+
+    from shasta_tpu.data.synthetic import make_batch
+    from shasta_tpu.models import ShastaModel, ShastaConfig
+
+    kw = dict(max_obj=6, grid_shape=(41, 32, 32),
+              cap_conv2=512, cap_conv3=256, cap_conv4=128, cap_extra=128)
+    m_xla = ShastaModel(ShastaConfig(**kw))
+    m_pal = ShastaModel(ShastaConfig(use_pallas_gather=True, **kw))
+
+    b = make_batch(m_xla.cfg, 2, 128, n_dets=4, seed=3)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
     variables = m_xla.init(jax.random.PRNGKey(0), batch, train=False)
 

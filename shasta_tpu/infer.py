@@ -623,11 +623,14 @@ def track_scene_dataset(pipeline: ScenePipeline, dataset, frame_lags=None,
             "attribute_name": src.get("attribute_name"),
         }
 
-    def step_and_format(sample, safe: bool):
+    def step(sample, safe: bool):
         batch = collate([sample])
         n_curr = len(sample["cls_det_boxes"])
         lag = float(sample["det_boxes"][0, 9]) if n_curr else 0.5
-        out = pipeline.step_frame(batch, n_curr, lag, safe=safe)
+        return pipeline.step_frame(batch, n_curr, lag, safe=safe)
+
+    def format_out(sample, out):
+        n_curr = len(sample["cls_det_boxes"])
         annos = []
         for k in range(n_curr):
             if not out.used[k]:
@@ -660,20 +663,32 @@ def track_scene_dataset(pipeline: ScenePipeline, dataset, frame_lags=None,
         through the safe program (in-graph XLA fallbacks)."""
         pipeline.reset()
         for s in scene_samples:
-            step_and_format(s, safe=True)
+            format_out(s, step(s, safe=True))
 
+    # Deferred formatting: frame i's packed fetch + host anno assembly
+    # happen AFTER frame i+1's step is issued, overlapping the RPC round
+    # trip with device compute (the step only consumes device-side carry).
     pipeline.reset()
     scene: list = []
     scene_ok = True
+    pending: tuple | None = None
     for i in it:
         sample = dataset[i]
         if not sample["prev_token"]:
+            if pending is not None:
+                scene_ok &= format_out(*pending)
+                pending = None
             if not scene_ok:
                 replay_scene(scene)
             pipeline.reset()
             scene, scene_ok = [], True
         scene.append(sample)
-        scene_ok &= step_and_format(sample, safe=False)
+        out = step(sample, safe=False)
+        if pending is not None:
+            scene_ok &= format_out(*pending)
+        pending = (sample, out)
+    if pending is not None:
+        scene_ok &= format_out(*pending)
     if not scene_ok:
         replay_scene(scene)
     return {"results": results, "meta": {

@@ -253,6 +253,30 @@ def run_affinity_eval_batched(
             pass
 
     keys = ("voxels", "num_points", "coordinates", "voxels_valid", "det_boxes")
+
+    # Deferred output processing: the packed fetch of step i happens AFTER
+    # step i+1 is issued, so the device->host round trip (and the host-side
+    # anno assembly) overlaps the next frame's device compute. Lane
+    # scheduling depends only on frame counts, never on step outputs, so
+    # issuing ahead is always safe.
+    pending = None  # (lane_samples, active_scene_ids, packed device array)
+
+    def process(entry):
+        nonlocal done
+        lane_samples_p, active_p, packed_dev = entry
+        packed_np = np.asarray(packed_dev)
+        if packed_np[0, 6, 0] <= 0.5:  # a Pallas coverage flag tripped
+            flagged_scenes.update(active_p)
+        for li, s in enumerate(lane_samples_p):
+            if s is None:
+                continue
+            _assemble_frame_annos(
+                s, unpack_dec(packed_np, li), nusc_annos, dead_tracker
+            )
+            done += 1
+            if bar:
+                bar.update(1)
+
     while any(si >= 0 for si in lane_scene):
         lane_samples, resets, n_currs = [], [], []
         for li in range(B):
@@ -274,27 +298,25 @@ def run_affinity_eval_batched(
             variables, frame, jnp.asarray(resets), jnp.asarray(n_prev),
             jnp.asarray(n_currs, jnp.int32), prev_boxes, prev_feat,
         )
-        packed_np = np.asarray(packed)
-        if packed_np[0, 6, 0] <= 0.5:  # a Pallas coverage flag tripped
-            flagged_scenes.update(si for si in lane_scene if si >= 0)
+        active = [si for si in lane_scene if si >= 0]
         prev_feat = curr_feat
         prev_boxes = frame["det_boxes"]
         n_prev = np.asarray(n_currs, np.int32)
 
+        # advance lane scheduling (independent of outputs)
         for li in range(B):
-            s = lane_samples[li]
-            if s is None:
+            if lane_samples[li] is None:
                 continue
-            _assemble_frame_annos(
-                s, unpack_dec(packed_np, li), nusc_annos, dead_tracker
-            )
-            done += 1
-            if bar:
-                bar.update(1)
             lane_pos[li] += 1
             if lane_pos[li] >= len(scenes[lane_scene[li]]):
                 lane_scene[li] = queue.pop(0) if queue else -1
                 lane_pos[li] = 0
+
+        if pending is not None:
+            process(pending)
+        pending = (lane_samples, active, packed)
+    if pending is not None:
+        process(pending)
     if bar:
         bar.close()
     assert done == total

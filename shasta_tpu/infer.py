@@ -498,7 +498,103 @@ class MultiClassScenePipeline:
             if model.cfg not in programs:
                 programs[model.cfg] = make_head(model)
             self._heads[name] = programs[model.cfg]
+        # fused one-program step per active-class subset (see _get_fused)
+        self._fused: dict = {}
         self.reset()
+
+    def _get_fused(self, names: tuple, fast: bool):
+        """ONE jitted program for trunk + every class head + the merged
+        tracker step. The per-head path costs ~10 dispatches and 7 scalar
+        puts per frame — each a relay round trip on tunneled TPUs; fusing
+        collapses them into one dispatch + one scalar put. Cached per
+        active-class subset (stable across a scene) and fast/safe variant.
+        """
+        key = (names, fast)
+        if key in self._fused:
+            return self._fused[key]
+        trunk_model, _ = self.class_heads[self.trunk_key]
+        models = {n: self.class_heads[n][0] for n in names}
+        C = len(names)
+        cap = self._table.used.shape[0]
+
+        def body(trunk_vars, class_vars, frame, boxes_d, prev_feats,
+                 prev_boxes_d, scalars, table, id_count):
+            from .core.bilinear import sample_bev_features
+            from .core.boxes import box_points_5
+
+            bev = trunk_model.apply(
+                trunk_vars, frame, train=False, method=ShastaModel.bev_single
+            )
+            lag = scalars[2 * C]
+            det_parts, keeps, fns, curr_feats = [], [], [], {}
+            dead_pad = jnp.zeros((cap,), bool)
+            offset = 0
+            for i, name in enumerate(names):
+                model = models[name]
+                cfg = model.cfg
+                boxes = boxes_d[name]
+                prev_boxes = prev_boxes_d[name]
+                n_prev = scalars[i].astype(jnp.int32)
+                n_curr = scalars[C + i].astype(jnp.int32)
+                pts = box_points_5(boxes[:, :, :7])
+                curr_feat = sample_bev_features(
+                    bev, pts, cfg.pc_start, cfg.voxel_size, cfg.out_stride
+                )
+                m1, m2 = model.apply(
+                    class_vars[name], prev_boxes, boxes, prev_feats[name],
+                    curr_feat, method=ShastaModel.affinity_step,
+                )
+                dec = apply_decision_rules(
+                    m1[0], m2[0], n_prev, n_curr,
+                    fp_thresh=self.fp_thresh,
+                    decision_thresh=self.decision_thresh,
+                )
+                # retroactive dead flags for this class's prev-det slots
+                dead_pad = dead_pad.at[offset: offset + cfg.max_obj].set(dec.dead)
+                cid = NUSCENES_TRACKING_NAMES.index(name)
+                det_parts.append(_dets_with_fn(boxes[0], prev_boxes[0], dec, cid))
+                keeps.append(dec.keep)
+                fns.append(dec.fn)
+                curr_feats[name] = curr_feat
+                offset += 2 * cfg.max_obj
+            table = table._replace(dead=table.dead | (dead_pad & table.used))
+            dets = st.FrameDets(*[
+                jnp.concatenate([getattr(p, f) for p in det_parts], axis=0)
+                for f in st.FrameDets._fields
+            ])
+            table, id_count, tid, used, ref = st.step_frame(
+                table, id_count, dets, lag, self.params
+            )
+            return curr_feats, table, id_count, tid, used, ref, keeps, fns
+
+        def step(trunk_vars, class_vars, frame, boxes_d, prev_feats,
+                 prev_boxes_d, scalars, table, id_count):
+            args = (trunk_vars, class_vars, frame, boxes_d, prev_feats,
+                    prev_boxes_d, scalars, table, id_count)
+            if fast:
+                from .ops.pallas.window_conv import collect_coverage_flags
+
+                with collect_coverage_flags() as fl:
+                    (curr_feats, table_, idc, tid, used, ref, keeps,
+                     fns) = body(*args)
+                ok = fl.all_ok()
+            else:
+                (curr_feats, table_, idc, tid, used, ref, keeps,
+                 fns) = body(*args)
+                ok = jnp.bool_(True)
+            # ONE packed host-bound array: tid/used/ref (class-major 2N_c
+            # spans) + per-class keep + fn + the coverage flag
+            packed = jnp.concatenate(
+                [tid.astype(jnp.float32), used.astype(jnp.float32), ref]
+                + [k.astype(jnp.float32) for k in keeps]
+                + [f.astype(jnp.float32) for f in fns]
+                + [ok.astype(jnp.float32)[None]]
+            )
+            return curr_feats, table_, idc, packed
+
+        fn = jax.jit(step)
+        self._fused[key] = fn
+        return fn
 
     def reset(self):
         self._state = {}
@@ -507,87 +603,74 @@ class MultiClassScenePipeline:
             self._state[name] = {
                 "prev_feat": jnp.zeros((1, cfg.max_obj, cfg.num_point * cfg.share_conv_channel)),
                 "prev_boxes": jnp.zeros((1, cfg.max_obj, 11)),
-                "n_prev": jnp.int32(0),
+                "n_prev": 0,  # host-side (goes into the fused scalar put)
             }
         cap = sum(2 * m.cfg.max_obj for m, _ in self.class_heads.values())
         self._table = st.TrackTable.empty(cap * (self.params.max_age + 1))
         self._id_count = jnp.int32(0)
 
-    def step_frame(self, frame_np: dict, class_boxes: dict, time_lag: float):
+    def step_frame(self, frame_np: dict, class_boxes: dict, time_lag: float,
+                   safe: bool = False):
         """frame_np: voxel arrays (B=1). class_boxes: {name: (det_boxes11
         (1,N_c,11), n_curr)}. Returns {name: StepOutput} with per-class
-        tid/used/ref of length 2*N_c (FN rows at [N_c, 2*N_c))."""
-        frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
-        bev = self._bev(frame)
-        # per-class decision rules, concatenated class-major into one
-        # merged tracker step (NUSCENES_TRACKING_NAMES order)
-        det_parts = []
-        spans = {}
-        offset = 0
-        for name in NUSCENES_TRACKING_NAMES:
-            if name not in self.class_heads or name not in class_boxes:
-                continue
-            model, variables = self.class_heads[name]
-            boxes, n_curr = class_boxes[name]
-            boxes = jnp.asarray(boxes)
-            s = self._state[name]
-            prev_boxes = s["prev_boxes"]
-            curr_feat, dec = self._heads[name](
-                variables, bev, prev_boxes, boxes, s["prev_feat"],
-                s["n_prev"], jnp.int32(n_curr),
-            )
-            s["prev_feat"], s["prev_boxes"], s["n_prev"] = (
-                curr_feat, boxes, jnp.int32(n_curr),
-            )
-            cid = NUSCENES_TRACKING_NAMES.index(name)
-            # retroactive dead flags for this class's prev-det track slots
-            # (the first N_c rows of its 2*N_c det-major span)
-            lo = offset
-            dead_pad = (
-                jnp.zeros((self._table.dead.shape[0],), bool)
-                .at[lo : lo + model.cfg.max_obj]
-                .set(dec.dead)
-            )
-            self._table = self._table._replace(
-                dead=self._table.dead | (dead_pad & self._table.used)
-            )
-            det_parts.append(_dets_with_fn(boxes[0], prev_boxes[0], dec, cid))
-            spans[name] = (offset, offset + 2 * model.cfg.max_obj, dec)
-            offset += 2 * model.cfg.max_obj
+        tid/used/ref of length 2*N_c (FN rows at [N_c, 2*N_c)).
 
-        dets = st.FrameDets(*[
-            jnp.concatenate([getattr(p, f) for p in det_parts], axis=0)
-            for f in st.FrameDets._fields
-        ])
-        self._table, self._id_count, tid, used, ref = st.step_frame(
-            self._table, self._id_count, dets, jnp.float32(time_lag), self.params
+        The whole frame (trunk + every class head + merged tracker step)
+        runs as ONE jitted program with ONE scalar put and ONE packed
+        output fetch. Each StepOutput carries coverage_ok; when any is
+        False the caller replays the scene with safe=True (same contract
+        as ScenePipeline)."""
+        frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
+        names = tuple(
+            n for n in NUSCENES_TRACKING_NAMES
+            if n in self.class_heads and n in class_boxes
         )
-        # ONE packed device->host fetch per frame instead of 3 + 2 per
-        # class (each fetch is a full RPC round trip on a tunneled TPU)
-        names_order = list(spans)
-        flat = jax.jit(lambda *xs: jnp.concatenate(
-            [x.astype(jnp.float32).reshape(-1) for x in xs]
-        ))(tid, used, ref, *[spans[n][2].keep for n in names_order],
-           *[spans[n][2].fn for n in names_order])
-        p = np.asarray(flat)
-        L = tid.shape[0]
+        fn = self._get_fused(names, fast=not safe)
+        C = len(names)
+        # one (2C+1,) f32 put: per-class n_prev, n_curr, then the lag
+        scalars = jnp.asarray(
+            [float(self._state[n]["n_prev"]) for n in names]
+            + [float(class_boxes[n][1]) for n in names]
+            + [float(time_lag)], jnp.float32,
+        )
+        boxes_d = {n: jnp.asarray(class_boxes[n][0]) for n in names}
+        class_vars = {n: self.class_heads[n][1] for n in names}
+        prev_feats = {n: self._state[n]["prev_feat"] for n in names}
+        prev_boxes_d = {n: self._state[n]["prev_boxes"] for n in names}
+        trunk_vars = self.class_heads[self.trunk_key][1]
+        curr_feats, self._table, self._id_count, packed = fn(
+            trunk_vars, class_vars, frame, boxes_d, prev_feats,
+            prev_boxes_d, scalars, self._table, self._id_count,
+        )
+        for n in names:
+            s = self._state[n]
+            s["prev_feat"] = curr_feats[n]
+            s["prev_boxes"] = boxes_d[n]
+            s["n_prev"] = int(class_boxes[n][1])
+
+        p = np.asarray(packed)
+        L = sum(2 * self.class_heads[n][0].cfg.max_obj for n in names)
         tid_np, used_np, ref_np = (
             p[:L].astype(np.int32), p[L:2 * L] > 0.5, p[2 * L:3 * L]
         )
         off = 3 * L
-        kf: dict[str, tuple] = {}
+        kf: dict[str, list] = {}
         for half in range(2):  # keeps then fns, class order
-            for name in names_order:
+            for name in names:
                 n_c = self.class_heads[name][0].cfg.max_obj
                 kf.setdefault(name, [None, None])[half] = p[off:off + n_c] > 0.5
                 off += n_c
+        ok = bool(p[off] > 0.5)
         out = {}
-        for name, (lo, hi, dec) in spans.items():
+        lo = 0
+        for name in names:
+            hi = lo + 2 * self.class_heads[name][0].cfg.max_obj
             out[name] = StepOutput(
                 tid=tid_np[lo:hi], used=used_np[lo:hi],
                 keep=kf[name][0], ref=ref_np[lo:hi],
-                fn=kf[name][1],
+                fn=kf[name][1], coverage_ok=ok,
             )
+            lo = hi
         return out
 
 

@@ -91,32 +91,24 @@ def run_multiclass(class_specs: dict, out_path: str, trunk_key: str | None = Non
             pass
 
     frame_keys = ("voxels", "num_points", "coordinates", "voxels_valid")
-    prev_cls: dict[str, list] = {n: [] for n in class_heads}
-    prev_lag: dict[str, float] = {n: 0.5 for n in class_heads}
-    for i in it:
-        vox_sample = vox_dataset[i]
+
+    def fresh_state():
+        return {
+            "prev_cls": {n: [] for n in class_heads},
+            "prev_lag": {n: 0.5 for n in class_heads},
+        }
+
+    def process(item, state, safe: bool) -> bool:
+        """Step + format one frame; mutates state; returns coverage ok."""
+        vox_sample, cls_samples, class_boxes, frame, lag = item
         token = vox_sample["token"]
-        if not vox_sample["prev_token"]:
-            pipe.reset()
-            prev_cls = {n: [] for n in class_heads}
-        batch = collate([vox_sample])
-        frame = {k: batch[k] for k in frame_keys}
-
-        class_boxes = {}
-        cls_samples = {}
-        for name, ds in box_datasets.items():
-            s = ds[i]
-            cls_samples[name] = s
-            class_boxes[name] = (s["det_boxes"][None], len(s["cls_det_boxes"]))
-        n_any = max(n for _, n in class_boxes.values())
-        lag = float(vox_sample["det_boxes"][0, 9]) if n_any else 0.5
-
-        out = pipe.step_frame(frame, class_boxes, lag)
-
+        out = pipe.step_frame(frame, class_boxes, lag, safe=safe)
         annos = []
+        ok = True
         for name, o in out.items():
             s = cls_samples[name]
             N = class_heads[name][0].cfg.max_obj
+            ok = ok and bool(o.coverage_ok)
             for k in range(len(s["cls_det_boxes"])):
                 if not o.used[k]:
                     continue
@@ -133,14 +125,14 @@ def run_multiclass(class_specs: dict, out_path: str, trunk_key: str | None = Non
                     "attribute_name": a.get("attribute_name"),
                 })
             # FN-propagated prev boxes (eval.py:141-148 semantics on-device)
-            pc = prev_cls[name]
+            pc = state["prev_cls"][name]
             for n in range(len(pc)):
                 if not (o.fn[n] and o.used[N + n]):
                     continue
                 src = pc[n]
                 tr = list(src["translation"])
-                tr[0] += prev_lag[name] * src["velocity"][0]
-                tr[1] += prev_lag[name] * src["velocity"][1]
+                tr[0] += state["prev_lag"][name] * src["velocity"][0]
+                tr[1] += state["prev_lag"][name] * src["velocity"][1]
                 annos.append({
                     "sample_token": token,
                     "translation": tr,
@@ -154,9 +146,46 @@ def run_multiclass(class_specs: dict, out_path: str, trunk_key: str | None = Non
                 })
             # next frame's FN propagation uses THIS frame's stored dt
             # (prev_det_boxes[0, 9] in the reference, eval.py:142)
-            prev_cls[name] = cls_samples[name]["cls_det_boxes"]
-            prev_lag[name] = float(cls_samples[name]["det_boxes"][0, 9])
+            state["prev_cls"][name] = cls_samples[name]["cls_det_boxes"]
+            state["prev_lag"][name] = float(cls_samples[name]["det_boxes"][0, 9])
         results[token] = annos
+        return ok
+
+    def replay_scene(scene):
+        """A fused-program coverage flag tripped: rerun the scene through
+        the safe program (in-graph XLA fallbacks) — same contract as
+        track_scene_dataset."""
+        pipe.reset()
+        st = fresh_state()
+        for item in scene:
+            process(item, st, safe=True)
+
+    state = fresh_state()
+    scene: list = []
+    scene_ok = True
+    for i in it:
+        vox_sample = vox_dataset[i]
+        if not vox_sample["prev_token"]:
+            if not scene_ok:
+                replay_scene(scene)
+            pipe.reset()
+            state = fresh_state()
+            scene, scene_ok = [], True
+        batch = collate([vox_sample])
+        frame = {k: batch[k] for k in frame_keys}
+        class_boxes = {}
+        cls_samples = {}
+        for name, ds in box_datasets.items():
+            s = ds[i]
+            cls_samples[name] = s
+            class_boxes[name] = (s["det_boxes"][None], len(s["cls_det_boxes"]))
+        n_any = max(n for _, n in class_boxes.values())
+        lag = float(vox_sample["det_boxes"][0, 9]) if n_any else 0.5
+        item = (vox_sample, cls_samples, class_boxes, frame, lag)
+        scene.append(item)
+        scene_ok &= process(item, state, safe=False)
+    if not scene_ok:
+        replay_scene(scene)
 
     result = {"results": results, "meta": {
         "use_camera": False, "use_lidar": True, "use_radar": False,

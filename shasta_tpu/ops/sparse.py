@@ -329,6 +329,25 @@ def build_strided_plan(
     )
     s = jnp.sort(cand)
     head = (s != jnp.concatenate([jnp.full((1,), -1, s.dtype), s[:-1]])) & (s != SENTINEL)
+    VC = s.shape[0]
+
+    def _lookup_compact(queries):
+        """Scatter-free compaction (Pallas path): slot j's key is the
+        first candidate position where cumsum(head) == queries[j]. The
+        cumsum is monotone and so are the slot queries, so the windowed
+        cursor-walk kernel resolves all slots with the whole (VC,) count
+        table VMEM-resident — replacing a VC-sized HBM scatter with a
+        max_out-query kernel + a max_out-row gather."""
+        from .pallas.window_conv import windowed_lookup
+
+        ch_ = jnp.cumsum(head.astype(jnp.int32))
+        pos = windowed_lookup(
+            ch_, jnp.arange(VC, dtype=jnp.int32), queries[:, None]
+        )[:, 0]
+        found = pos < VC
+        keys = jnp.where(found, s[jnp.minimum(pos, VC - 1)], SENTINEL)
+        return keys, ch_
+
     if lane_slots > 1:
         B = st.batch_size
         cap_lane = max_out // B
@@ -339,25 +358,40 @@ def build_strided_plan(
         bnd = jnp.searchsorted(s, jnp.arange(B, dtype=s.dtype) * s_out,
                                side="left")
         bases = jnp.where(bnd > 0, ch[jnp.maximum(bnd - 1, 0)], 0)
-        lane = jnp.clip(s // s_out, 0, B - 1)
-        lane_pos = pos - bases[lane]
-        write = head & (lane_pos < cap_lane)
-        target = lane * cap_lane + lane_pos
-        out_keys = jnp.full((max_out,), SENTINEL, jnp.int32)
-        out_keys = out_keys.at[jnp.where(write, target, max_out)].set(
-            jnp.where(write, s, SENTINEL), mode="drop"
-        )
-        out_valid = out_keys != SENTINEL
         slot_lane = (jnp.arange(max_out, dtype=jnp.int32) // cap_lane)
-    else:
-        pos = jnp.cumsum(head) - 1
-        out_keys = jnp.full((max_out,), SENTINEL, jnp.int32)
-        write = head & (pos < max_out)
-        out_keys = out_keys.at[jnp.where(write, pos, max_out)].set(
-            jnp.where(write, s, SENTINEL), mode="drop"
-        )
+        if use_pallas:
+            # per-lane slot queries: lane b's j-th unique is global unique
+            # bases[b] + j, valid while it stays inside the lane's range
+            ends = jnp.concatenate([bases[1:], ch[-1:]])
+            j_in = jnp.arange(max_out, dtype=jnp.int32) % cap_lane
+            uq = bases[slot_lane].astype(jnp.int32) + j_in
+            q = jnp.where(uq < ends[slot_lane].astype(jnp.int32),
+                          uq + 1, SENTINEL)
+            out_keys, _ = _lookup_compact(q)
+        else:
+            lane = jnp.clip(s // s_out, 0, B - 1)
+            lane_pos = pos - bases[lane]
+            write = head & (lane_pos < cap_lane)
+            target = lane * cap_lane + lane_pos
+            out_keys = jnp.full((max_out,), SENTINEL, jnp.int32)
+            out_keys = out_keys.at[jnp.where(write, target, max_out)].set(
+                jnp.where(write, s, SENTINEL), mode="drop"
+            )
         out_valid = out_keys != SENTINEL
+    else:
         slot_lane = jnp.full((max_out,), st.batch_size, jnp.int32)
+        if use_pallas:
+            out_keys, _ = _lookup_compact(
+                jnp.arange(1, max_out + 1, dtype=jnp.int32)
+            )
+        else:
+            pos = jnp.cumsum(head) - 1
+            out_keys = jnp.full((max_out,), SENTINEL, jnp.int32)
+            write = head & (pos < max_out)
+            out_keys = out_keys.at[jnp.where(write, pos, max_out)].set(
+                jnp.where(write, s, SENTINEL), mode="drop"
+            )
+        out_valid = out_keys != SENTINEL
 
     # Decode output coords from keys; an invalid row's b becomes its
     # lane's id (per-lane layout: its lane filler keeps the chunk sorted)

@@ -149,7 +149,15 @@ def main():
         return sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1),
                                      cfg.cap_conv2, table=sp.key_table(st))
 
+    @jax.jit
+    def strided_plan_pl(f):
+        st = with_feats(f)
+        return sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                     cfg.cap_conv2, table=sp.key_table(st),
+                                     use_pallas=True)
+
     timeit("strided plan conv2 (dedup sort)", strided_plan, f0, iters=iters)
+    timeit("strided plan conv2 (pallas compact)", strided_plan_pl, f0, iters=iters)
 
     if "--micro-only" in sys.argv:
         return

@@ -102,7 +102,7 @@ MAX_HOPS = 64  # window hops per tile before flagging the XLA fallback
 
 
 def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int,
-                   triple: bool):
+                   triple: bool, identity: bool = False):
     """grid (T,). q_ref (TILE, K) int32 queries (monotone per tap column);
     keys_ref / perm_ref (R, WIDE*128): WIDENED rows of the ascending key
     array and its argsort permutation, offset by one GUARD element
@@ -163,7 +163,15 @@ def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int,
             # duplicate keys (e.g. duplicate voxel coords in un-deduped
             # input) are adjacent in the sorted table and searchsorted
             # side='left' resolves to the first
-            prow = perm_ref[pl.ds(r, 1), :].astype(jnp.float32)
+            if identity:
+                # identity permutation (e.g. the compaction lookup over a
+                # cumsum table): the value IS the flat table position
+                # 128 r + c - 1 (widened row r, column c; -1 for the
+                # leading guard element) — skip the perm table entirely,
+                # halving the VMEM residency. Exact in f32 below 2^24.
+                prow = (lane[:1, :] + (r * TILE - 1)).astype(jnp.float32)
+            else:
+                prow = perm_ref[pl.ds(r, 1), :].astype(jnp.float32)
             dup_prev = row == pltpu.roll(row, 1, axis=1)  # (1, W)
             first_lane = ~dup_prev | (lane[:1, :] == 0)
             new_fvals = []
@@ -204,14 +212,16 @@ def _lookup_kernel(q_ref, keys_ref, perm_ref, pos_ref, cursors, *, V: int,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("V", "triple", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("V", "triple", "interpret", "identity"))
 def _lookup_call(queries, keys_wide, perm_wide, V: int, triple: bool,
-                 interpret: bool):
+                 interpret: bool, identity: bool = False):
     Mp, K = queries.shape
     D = 3 if triple else 1
     T = Mp // TILE
     return pl.pallas_call(
-        functools.partial(_lookup_kernel, V=V, triple=triple),
+        functools.partial(_lookup_kernel, V=V, triple=triple,
+                          identity=identity),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((TILE, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
@@ -264,7 +274,7 @@ def _lanes_usable(V: int, M: int, lanes: int) -> bool:
 
 
 def windowed_lookup(sorted_keys, perm, query, interpret: bool | None = None,
-                    lanes: int = 1):
+                    lanes: int = 1, identity_perm: bool = False):
     """Drop-in for ops.sparse._sorted_lookup on 2D per-tap-monotone queries.
 
     sorted_keys (V,) ascending with SENTINEL tail; perm (V,) argsort
@@ -290,7 +300,7 @@ def windowed_lookup(sorted_keys, perm, query, interpret: bool | None = None,
             parts.append(jnp.where(r < V1, r + b * V1, V))
         return jnp.concatenate(parts, axis=0)
     pos = _lookup_run(sorted_keys, perm, query, triple=False,
-                      interpret=bool(interpret))
+                      interpret=bool(interpret), identity=identity_perm)
 
     def xla_path(_):
         return _xla_lookup(sorted_keys, perm, query)
@@ -314,7 +324,8 @@ def _xla_lookup(sorted_keys, perm, query):
             .reshape(query.shape))
 
 
-def _lookup_run(sorted_keys, perm, query, triple: bool, interpret: bool):
+def _lookup_run(sorted_keys, perm, query, triple: bool, interpret: bool,
+                identity: bool = False):
     V = sorted_keys.shape[0]
     M, K = query.shape
     Mp = ((M + TILE - 1) // TILE) * TILE
@@ -339,11 +350,16 @@ def _lookup_run(sorted_keys, perm, query, triple: bool, interpret: bool):
     kf = jnp.full((flat_len,), SENTINEL, jnp.int32)
     kf = kf.at[0].set(jnp.iinfo(jnp.int32).min)
     kf = kf.at[1: V + 1].set(sorted_keys.astype(jnp.int32))
-    pf = jnp.zeros((flat_len,), jnp.int32).at[1: V + 1].set(
-        perm.astype(jnp.int32)
-    )
-    return _lookup_call(q, _widen(kf, R), _widen(pf, R), V=V, triple=triple,
-                        interpret=interpret)
+    if identity:
+        # kernel derives positions from the window base: no perm table
+        pw = jnp.zeros((R, WIDE * TILE), jnp.int32)[:1]
+    else:
+        pf = jnp.zeros((flat_len,), jnp.int32).at[1: V + 1].set(
+            perm.astype(jnp.int32)
+        )
+        pw = _widen(pf, R)
+    return _lookup_call(q, _widen(kf, R), pw, V=V, triple=triple,
+                        interpret=interpret, identity=identity)
 
 
 def windowed_lookup_triple(sorted_keys, perm, centers,

@@ -331,6 +331,12 @@ def build_strided_plan(
     head = (s != jnp.concatenate([jnp.full((1,), -1, s.dtype), s[:-1]])) & (s != SENTINEL)
     VC = s.shape[0]
 
+    # The compaction lookup keeps the widened (VC,) count table
+    # VMEM-resident (identity perm -> keys only, ~12 B/row); gate on the
+    # residency budget and fall back to the scatter compaction beyond it.
+    # Positions must also stay f32-exact in the kernel (< 2^24).
+    compact_ok = use_pallas and VC * 12 <= 64 * 1024 * 1024 and VC < 2**24
+
     def _lookup_compact(queries):
         """Scatter-free compaction (Pallas path): slot j's key is the
         first candidate position where cumsum(head) == queries[j]. The
@@ -342,7 +348,8 @@ def build_strided_plan(
 
         ch_ = jnp.cumsum(head.astype(jnp.int32))
         pos = windowed_lookup(
-            ch_, jnp.arange(VC, dtype=jnp.int32), queries[:, None]
+            ch_, jnp.arange(VC, dtype=jnp.int32), queries[:, None],
+            identity_perm=True,
         )[:, 0]
         found = pos < VC
         keys = jnp.where(found, s[jnp.minimum(pos, VC - 1)], SENTINEL)
@@ -359,7 +366,7 @@ def build_strided_plan(
                                side="left")
         bases = jnp.where(bnd > 0, ch[jnp.maximum(bnd - 1, 0)], 0)
         slot_lane = (jnp.arange(max_out, dtype=jnp.int32) // cap_lane)
-        if use_pallas:
+        if compact_ok:
             # per-lane slot queries: lane b's j-th unique is global unique
             # bases[b] + j, valid while it stays inside the lane's range
             ends = jnp.concatenate([bases[1:], ch[-1:]])
@@ -380,7 +387,7 @@ def build_strided_plan(
         out_valid = out_keys != SENTINEL
     else:
         slot_lane = jnp.full((max_out,), st.batch_size, jnp.int32)
-        if use_pallas:
+        if compact_ok:
             out_keys, _ = _lookup_compact(
                 jnp.arange(1, max_out + 1, dtype=jnp.int32)
             )

@@ -78,3 +78,37 @@ def test_equal_configs_share_head_programs():
     )
     assert pipe._heads["car"] is pipe._heads["pedestrian"]
     assert pipe._heads["car"] is not pipe._heads["bus"]
+
+
+def test_multiclass_fast_equals_safe(rng):
+    """The fused fast program (coverage flags, no in-graph conds) must
+    produce the same ids/flags as the safe program (in-graph XLA
+    fallbacks) when no flag trips — and both expose coverage_ok."""
+    cfg = _mini_cfg(5)
+    car, bus = ShastaModel(cfg), ShastaModel(cfg)
+    b = make_batch(cfg, 1, 512, n_dets=4)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    v = car.init(jax.random.PRNGKey(0), batch, train=False)
+
+    frame = {k: b[k] for k in ("voxels", "num_points", "coordinates", "voxels_valid")}
+    boxes = {"car": (b["det_boxes"], 4), "bus": (b["det_boxes"], 3)}
+
+    def run(safe):
+        pipe = MultiClassScenePipeline(
+            class_heads={"car": (car, v), "bus": (bus, v)}, trunk_key="car",
+            params=default_tracker_params(max_age=4),
+        )
+        outs = []
+        for _ in range(3):
+            outs.append(pipe.step_frame(frame, boxes, 0.5, safe=safe))
+        return outs
+
+    fast, safe = run(False), run(True)
+    for of, os_ in zip(fast, safe):
+        for name in ("car", "bus"):
+            assert bool(np.all(of[name].coverage_ok)), "flag tripped: case invalid"
+            np.testing.assert_array_equal(of[name].tid, os_[name].tid)
+            np.testing.assert_array_equal(of[name].used, os_[name].used)
+            np.testing.assert_array_equal(of[name].keep, os_[name].keep)
+            np.testing.assert_array_equal(of[name].fn, os_[name].fn)
+            np.testing.assert_allclose(of[name].ref, os_[name].ref, atol=1e-5)

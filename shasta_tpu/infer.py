@@ -450,20 +450,13 @@ class MultiClassScenePipeline:
     def __post_init__(self):
         self.params = self.params or default_tracker_params(max_age=4)
         names = list(self.class_heads)
-        trunk_model, trunk_vars = self.class_heads[self.trunk_key]
 
-        @jax.jit
-        def bev_map(variables, frame):
-            return trunk_model.apply(
-                variables, frame, train=False, method=ShastaModel.bev_single
-            )
-
-        self._bev = lambda frame: bev_map(trunk_vars, frame)
-
-        # One compiled head program per UNIQUE model config: classes with
-        # equal max_obj (car/ped=90, truck/trailer=60, moto/bicycle=50)
-        # share shapes and therefore a program — 4 compilations instead of
-        # 7 at release scale (weights stay per-class call arguments).
+        # Standalone per-head programs, one per UNIQUE model config:
+        # classes with equal max_obj (car/ped=90, truck/trailer=60,
+        # moto/bicycle=50) share shapes and therefore a program. The
+        # serving path runs the FUSED program (_get_fused); these stay as
+        # the program-sharing introspection surface and a piecewise-debug
+        # entry (never compiled unless called — jit is lazy).
         programs: dict = {}
 
         def make_head(model):

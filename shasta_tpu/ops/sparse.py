@@ -352,14 +352,12 @@ def build_strided_plan(
             identity_perm=True,
         )[:, 0]
         found = pos < VC
-        keys = jnp.where(found, s[jnp.minimum(pos, VC - 1)], SENTINEL)
-        return keys, ch_
+        return jnp.where(found, s[jnp.minimum(pos, VC - 1)], SENTINEL)
 
     if lane_slots > 1:
         B = st.batch_size
         cap_lane = max_out // B
         ch = jnp.cumsum(head)
-        pos = ch - 1
         # first sorted position of each lane's key range -> unique count
         # before the lane (lane b's keys live in [b*s_out, (b+1)*s_out))
         bnd = jnp.searchsorted(s, jnp.arange(B, dtype=s.dtype) * s_out,
@@ -374,10 +372,10 @@ def build_strided_plan(
             uq = bases[slot_lane].astype(jnp.int32) + j_in
             q = jnp.where(uq < ends[slot_lane].astype(jnp.int32),
                           uq + 1, SENTINEL)
-            out_keys, _ = _lookup_compact(q)
+            out_keys = _lookup_compact(q)
         else:
             lane = jnp.clip(s // s_out, 0, B - 1)
-            lane_pos = pos - bases[lane]
+            lane_pos = (ch - 1) - bases[lane]
             write = head & (lane_pos < cap_lane)
             target = lane * cap_lane + lane_pos
             out_keys = jnp.full((max_out,), SENTINEL, jnp.int32)
@@ -388,7 +386,7 @@ def build_strided_plan(
     else:
         slot_lane = jnp.full((max_out,), st.batch_size, jnp.int32)
         if compact_ok:
-            out_keys, _ = _lookup_compact(
+            out_keys = _lookup_compact(
                 jnp.arange(1, max_out + 1, dtype=jnp.int32)
             )
         else:

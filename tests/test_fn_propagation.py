@@ -339,17 +339,9 @@ def test_multiclass_pipeline_matches_host_with_fn(scene):
         trunk_key="car",
         params=default_tracker_params(max_age=4),
     )
-    # bypass the real-head closure (it samples a real BEV map); the crafted
-    # model's affinity is geometry-only, so drive the head directly
-    from shasta_tpu.tracker.decision import apply_decision_rules
-
-    def head(variables, bev, prev_boxes, curr_boxes, prev_feat, n_prev, n_curr):
-        m1, m2 = crafted_affinity(prev_boxes, curr_boxes)
-        dec = apply_decision_rules(m1[0], m2[0], n_prev, n_curr)
-        return jnp.zeros_like(prev_feat), dec
-
-    pipe._heads["car"] = head
-
+    # CraftedModel duck-types bev_single (zeros map) and affinity_step
+    # (geometry-only), so the fused program runs it end to end: zero BEV
+    # -> zero sampled feats, crafted affinities -> real decision rules.
     frame_keys = ("voxels", "num_points", "coordinates", "voxels_valid")
     from shasta_tpu.data.nuscenes import collate
 

@@ -136,12 +136,11 @@ def main():
 
     results["put_scalar"] = median_ms(put, iters=20, name="put_scalar")
 
-    results["tail(full-ff-aff)"] = (
+    tail = (
         results["step_pre_put"] - results["frame_features"] - results["affinity"]
     )
-
-    for k, v in results.items():
-        print(f"{k:>18}: {v:8.1f} ms", flush=True)
+    print(f"derived tail (step_pre_put - frame_features - affinity): "
+          f"{tail:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

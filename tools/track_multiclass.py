@@ -98,6 +98,22 @@ def run_multiclass(class_specs: dict, out_path: str, trunk_key: str | None = Non
             "prev_lag": {n: 0.5 for n in class_heads},
         }
 
+    def build_item(i):
+        """Collate + box assembly for dataset row i (rebuilt on replay so
+        the scene buffer holds only indices, not ~50 MB collated frames)."""
+        vox_sample = vox_dataset[i]
+        batch = collate([vox_sample])
+        frame = {k: batch[k] for k in frame_keys}
+        class_boxes = {}
+        cls_samples = {}
+        for name, ds in box_datasets.items():
+            s = ds[i]
+            cls_samples[name] = s
+            class_boxes[name] = (s["det_boxes"][None], len(s["cls_det_boxes"]))
+        n_any = max(n for _, n in class_boxes.values())
+        lag = float(vox_sample["det_boxes"][0, 9]) if n_any else 0.5
+        return (vox_sample, cls_samples, class_boxes, frame, lag)
+
     def process(item, state, safe: bool) -> bool:
         """Step + format one frame; mutates state; returns coverage ok."""
         vox_sample, cls_samples, class_boxes, frame, lag = item
@@ -151,41 +167,30 @@ def run_multiclass(class_specs: dict, out_path: str, trunk_key: str | None = Non
         results[token] = annos
         return ok
 
-    def replay_scene(scene):
+    def replay_scene(scene_idx):
         """A fused-program coverage flag tripped: rerun the scene through
         the safe program (in-graph XLA fallbacks) — same contract as
         track_scene_dataset."""
         pipe.reset()
         st = fresh_state()
-        for item in scene:
-            process(item, st, safe=True)
+        for i in scene_idx:
+            process(build_item(i), st, safe=True)
 
     state = fresh_state()
-    scene: list = []
+    scene_idx: list = []
     scene_ok = True
     for i in it:
-        vox_sample = vox_dataset[i]
-        if not vox_sample["prev_token"]:
+        item = build_item(i)
+        if not item[0]["prev_token"]:
             if not scene_ok:
-                replay_scene(scene)
+                replay_scene(scene_idx)
             pipe.reset()
             state = fresh_state()
-            scene, scene_ok = [], True
-        batch = collate([vox_sample])
-        frame = {k: batch[k] for k in frame_keys}
-        class_boxes = {}
-        cls_samples = {}
-        for name, ds in box_datasets.items():
-            s = ds[i]
-            cls_samples[name] = s
-            class_boxes[name] = (s["det_boxes"][None], len(s["cls_det_boxes"]))
-        n_any = max(n for _, n in class_boxes.values())
-        lag = float(vox_sample["det_boxes"][0, 9]) if n_any else 0.5
-        item = (vox_sample, cls_samples, class_boxes, frame, lag)
-        scene.append(item)
+            scene_idx, scene_ok = [], True
+        scene_idx.append(i)
         scene_ok &= process(item, state, safe=False)
     if not scene_ok:
-        replay_scene(scene)
+        replay_scene(scene_idx)
 
     result = {"results": results, "meta": {
         "use_camera": False, "use_lidar": True, "use_radar": False,

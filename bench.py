@@ -11,6 +11,8 @@ measured config on v5e (B=1 pallas 2.94 f/s vs 4-lane pallas 2.79 vs
 4-lane XLA 2.01; at 4 lanes the stage-0/1 conv tables exceed the VMEM
 budget and fall back to XLA row gathers). Flags:
   --lanes N     scene lanes (default 1; 4-lane packs frames per program)
+  --chunk T     T frames per program call (lax.scan; amortizes the per-
+                call dispatch/RPC overhead of the relay; B=1 only)
   --b1          force the single-lane latency shape
   --no-pallas   XLA gathers/searchsorted instead of the Pallas kernels
   --bf16        trunk matmuls in bf16 (f32 accumulation)
@@ -144,6 +146,36 @@ def _run_batched(model, variables, lanes: int, iters: int) -> float:
     return lanes * iters / (time.perf_counter() - t0)
 
 
+def _run_chunked(model, variables, T: int, iters: int) -> float:
+    """B=1 latency shape, T frames per program call (lax.scan)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shasta_tpu.infer import ScenePipeline, default_tracker_params
+
+    _, frame = _frames(model.cfg, 1)
+    frames = {k: jnp.stack([v] * T) for k, v in frame.items()}
+    pipe = ScenePipeline(
+        model=model, variables=variables, cls_id=2,
+        params=default_tracker_params(max_age=4),
+    )
+    n_currs, lags = [N_DETS] * T, [0.5] * T
+    prev = pipe.step_chunk(frames, n_currs, lags)  # warmup/compile
+    _ = prev.tid
+    t0 = time.perf_counter()
+    prev = None
+    chunks = max(1, iters // T)
+    for _ in range(chunks):
+        out = pipe.step_chunk(frames, n_currs, lags)
+        if prev is not None:
+            prev.tid  # fetch LAST chunk's packed outputs: overlaps compute
+            assert bool(np.all(prev.coverage_ok)), \
+                "pallas coverage flag tripped: bench invalid"
+        prev = out
+    prev.tid
+    return T * chunks / (time.perf_counter() - t0)
+
+
 def _run_single(model, variables, iters: int) -> float:
     from shasta_tpu.infer import ScenePipeline, default_tracker_params
 
@@ -227,6 +259,9 @@ def main():
             batch, _ = _frames(cfg, 1)
             variables = _random_variables(model, batch)
             fps = _run_single(model, variables, iters)
+    elif "--chunk" in sys.argv:
+        T = int(sys.argv[sys.argv.index("--chunk") + 1])
+        fps = _run_chunked(model, variables, T, max(iters, 2 * T))
     else:
         fps = _run_single(model, variables, iters)
 

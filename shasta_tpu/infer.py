@@ -235,7 +235,72 @@ class ScenePipeline:
 
         self._step = jax.jit(make_step(True))
         self._step_safe = jax.jit(make_step(False))  # compiled on first use
+        self._make_step = make_step
+        self._chunks: dict = {}  # (T, fast) -> jitted scan program
         self.reset()
+
+    def _get_chunk(self, T: int, fast: bool):
+        """ONE program advancing T consecutive frames via lax.scan
+        (carry = descriptors/boxes/table/ids). Amortizes the per-call
+        dispatch + RPC overhead of the relay over T frames; the packed
+        outputs come back as one (T, 6, 2N) fetch. Coverage flags fold
+        into each step's packed row INSIDE the scan body (they are
+        body-local traced values)."""
+        key = (T, fast)
+        if key in self._chunks:
+            return self._chunks[key]
+        step = self._make_step(fast)
+
+        def chunk(variables, frames, scalars_t, prev_boxes, prev_feat,
+                  table, id_count):
+            def body_fn(carry, xs):
+                prev_boxes, prev_feat, table, id_count = carry
+                frame_t, sc = xs
+                curr_feat, packed, table, id_count = step(
+                    variables, frame_t, sc, prev_boxes, prev_feat, table,
+                    id_count,
+                )
+                return (frame_t["det_boxes"], curr_feat, table, id_count), packed
+
+            (prev_boxes, prev_feat, table, id_count), packed_t = jax.lax.scan(
+                body_fn, (prev_boxes, prev_feat, table, id_count),
+                (frames, scalars_t),
+            )
+            return prev_feat, packed_t, table, id_count
+
+        fn = jax.jit(chunk)
+        self._chunks[key] = fn
+        return fn
+
+    def step_chunk(self, frames_np: dict, n_currs, time_lags,
+                   safe: bool = False) -> StepOutput:
+        """Advance T consecutive frames of ONE scene in a single program
+        call. frames_np values have a leading (T,) axis over the usual
+        (1, ...) frame shapes; n_currs/time_lags are length-T sequences.
+        Returns a StepOutput whose fields carry a leading (T,) axis
+        (coverage_ok is (T,) — on any False, replay the scene through
+        step_frame(..., safe=True) or a safe chunk)."""
+        frames = {k: jnp.asarray(v) for k, v in frames_np.items()
+                  if not isinstance(v, list)}
+        T = len(n_currs)
+        n_prevs = [float(self._n_prev)] + [float(n) for n in n_currs[:-1]]
+        scalars_t = jnp.asarray(
+            np.stack([n_prevs,
+                      [float(n) for n in n_currs],
+                      [float(t) for t in time_lags]], axis=1),
+            jnp.float32,
+        )  # (T, 3)
+        fn = self._get_chunk(T, fast=not safe)
+        curr_feat, packed_t, table, id_count = fn(
+            self.variables, frames, scalars_t,
+            self._prev_boxes, self._prev_feat, self._table, self._id_count,
+        )
+        self._prev_feat = curr_feat
+        self._prev_boxes = frames["det_boxes"][-1]
+        self._n_prev = int(n_currs[-1])
+        self._table = table
+        self._id_count = id_count
+        return StepOutput(packed=packed_t, N=self.model.cfg.max_obj)
 
     def reset(self):
         cfg = self.model.cfg

@@ -104,3 +104,44 @@ def test_scene_pipeline_tracks(setup):
     # at least the first frame (everything is newborn-or-kept at start)
     first = sorted(result["results"].items())[0][1]
     assert len(first) >= 1
+
+
+def test_step_chunk_matches_per_frame(setup):
+    """T frames through ONE lax.scan program == T sequential step_frame
+    calls: same ids/flags/scores, same carried tracker state."""
+    import jax.numpy as jnp
+
+    from shasta_tpu.data.nuscenes import collate
+
+    ds, model, variables = setup["ds"], setup["model"], setup["variables"]
+    params = default_tracker_params(max_age=4)
+    samples = [ds[i] for i in range(min(3, len(ds)))]
+    T = len(samples)
+    batches = [collate([s]) for s in samples]
+    n_currs = [len(s["cls_det_boxes"]) for s in samples]
+    lags = [0.5] * T
+
+    ref_pipe = ScenePipeline(model=model, variables=variables, cls_id=2,
+                             params=params)
+    ref = [ref_pipe.step_frame(b, n, l)
+           for b, n, l in zip(batches, n_currs, lags)]
+
+    chunk_pipe = ScenePipeline(model=model, variables=variables, cls_id=2,
+                               params=params)
+    frames = {
+        k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+        for k in batches[0] if not isinstance(batches[0][k], list)
+    }
+    out = chunk_pipe.step_chunk(frames, n_currs, lags)
+    assert out.tid.shape[0] == T
+    for t in range(T):
+        np.testing.assert_array_equal(out.tid[t], ref[t].tid)
+        np.testing.assert_array_equal(out.used[t], ref[t].used)
+        np.testing.assert_array_equal(out.keep[t], ref[t].keep)
+        np.testing.assert_array_equal(out.fn[t], ref[t].fn)
+        np.testing.assert_allclose(out.ref[t], ref[t].ref, atol=1e-5)
+    # carried state identical afterwards
+    np.testing.assert_allclose(np.asarray(chunk_pipe._prev_feat),
+                               np.asarray(ref_pipe._prev_feat), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(chunk_pipe._table.used),
+                                  np.asarray(ref_pipe._table.used))

@@ -21,13 +21,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = [
     ("b1_pallas", []),
+    ("b1_pallas_chunk8", ["--chunk", "8"]),
     ("lanes4_pallas", ["--lanes", "4"]),
     ("b1_pallas_bf16", ["--bf16"]),
     ("lanes4_pallas_bf16", ["--lanes", "4", "--bf16"]),
     ("b1_xla", ["--no-pallas"]),
     ("lanes4_xla", ["--lanes", "4", "--no-pallas"]),
 ]
-QUICK = {"b1_pallas", "lanes4_pallas"}
+QUICK = {"b1_pallas", "b1_pallas_chunk8", "lanes4_pallas"}
 
 
 def main():

@@ -1,0 +1,108 @@
+"""Release-scale 7-class fused-program cost: compile time, step latency,
+HBM footprint (VERDICT r1 weak #8).
+
+Builds the 7 per-class heads at release scale (max_obj 90/90/60/60/50/50/60,
+shared trunk weights, random values), compiles the fused
+MultiClassScenePipeline program, and reports compile wall-time, per-frame
+latency over a synthetic frame, and device memory stats.
+
+Run on TPU:  python tools/measure_multiclass.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# release-scale per-class max_obj (configs/nusc/*.py)
+MAX_OBJ = {
+    "car": 90, "pedestrian": 90, "truck": 60, "trailer": 60, "bus": 60,
+    "motorcycle": 50, "bicycle": 50,
+}
+V = 120000
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from bench import _random_variables
+    from shasta_tpu.data.synthetic import make_batch
+    from shasta_tpu.infer import MultiClassScenePipeline, default_tracker_params
+    from shasta_tpu.models import ShastaConfig, ShastaModel
+
+    dev = jax.devices()[0]
+    print(f"platform: {dev.platform}", flush=True)
+
+    use_pallas = "--no-pallas" not in sys.argv
+    heads = {}
+    trunk_vars = None
+    frame_np = None
+    for name, mo in MAX_OBJ.items():
+        cfg = ShastaConfig(
+            max_obj=mo, cap_conv2=50000, cap_conv3=25000, cap_conv4=12000,
+            cap_extra=12000, use_pallas_gather=use_pallas,
+            assume_sorted_voxels=True,
+        )
+        model = ShastaModel(cfg)
+        b = make_batch(cfg, 1, V, n_dets=min(mo, 60), seed=0)
+        variables = _random_variables(model, b)
+        if trunk_vars is None:
+            trunk_vars = variables
+            frame_np = {k: b[k] for k in
+                        ("voxels", "num_points", "coordinates", "voxels_valid")}
+        else:
+            # all release models share the frozen trunk (bev_map.pth)
+            variables = dict(variables)
+            for coll in ("params", "batch_stats"):
+                variables[coll] = dict(variables[coll])
+                for part in ("backbone", "neck", "shared_conv"):
+                    variables[coll][part] = trunk_vars[coll][part]
+        heads[name] = (model, variables)
+
+    pipe = MultiClassScenePipeline(
+        class_heads=heads, trunk_key="car",
+        params=default_tracker_params(max_age=4),
+    )
+    frame = {k: jnp.asarray(v) for k, v in frame_np.items()}
+    class_boxes = {
+        n: (jnp.asarray(np.zeros((1, m, 11), np.float32)), min(m, 60))
+        for n, m in MAX_OBJ.items()
+    }
+
+    t0 = time.perf_counter()
+    out = pipe.step_frame(frame, class_boxes, 0.5)
+    _ = out["car"].tid
+    print(f"fused compile + first frame: {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = pipe.step_frame(frame, class_boxes, 0.5)
+        _ = out["car"].tid
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    print(f"fused 7-class frame: median {ts[len(ts) // 2] * 1e3:.1f} ms "
+          f"({1.0 / ts[len(ts) // 2]:.2f} frames/s)", flush=True)
+
+    try:
+        stats = dev.memory_stats()
+        print(f"HBM: in_use {stats.get('bytes_in_use', 0) / 2**30:.2f} GiB, "
+              f"peak {stats.get('peak_bytes_in_use', 0) / 2**30:.2f} GiB",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"memory_stats unavailable: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

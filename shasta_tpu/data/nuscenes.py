@@ -213,6 +213,15 @@ class PointPipelineConfig:
     # host-side key-sort of the voxel rows (pair with
     # ShastaConfig.assume_sorted_voxels to skip the device stage-0 argsort)
     sort_voxels: bool = False
+    # Occupancy-tiered capacities: pad each frame to the SMALLEST tier
+    # >= its actual voxel count instead of always max_voxels. jit
+    # recompiles the serving program once per tier shape (cached), so
+    # sparse frames run a proportionally cheaper stage-0 — a real-data
+    # throughput win with zero effect on results (padded rows are
+    # masked). B=1 serving only: collate() of mixed tiers re-pads to the
+    # batch max. Tiers are clipped to max_voxels; max_voxels is always
+    # the last tier.
+    voxel_tiers: tuple[int, ...] | None = None
 
 
 def augment_points(points: np.ndarray, cfg: PointPipelineConfig, rng: np.random.Generator):
@@ -262,6 +271,11 @@ def voxelize_frame(
         v, c, n = v[order], c[order], n[order]
     V, P = cfg.max_voxels, cfg.max_points_in_voxel
     M = len(c)
+    if cfg.voxel_tiers:
+        tiers = sorted(set(
+            min(int(t), cfg.max_voxels) for t in cfg.voxel_tiers
+        ) | {cfg.max_voxels})
+        V = next(t for t in tiers if t >= M)
     voxels = np.zeros((V, P, points.shape[1]), np.float32)
     coords = np.zeros((V, 3), np.int32)
     nums = np.zeros((V,), np.int32)
@@ -434,7 +448,20 @@ def collate(samples: list[dict[str, Any]]) -> dict[str, Any]:
     out: dict[str, Any] = {}
     for k in samples[0]:
         if k in ARRAY_KEYS:
-            out[k] = np.stack([s[k] for s in samples])
+            arrs = [s[k] for s in samples]
+            shapes = {a.shape for a in arrs}
+            if len(shapes) > 1:
+                # occupancy-tiered frames: re-pad every sample to the
+                # batch max along the leading (voxel) axis
+                V = max(a.shape[0] for a in arrs)
+                padded = []
+                for a in arrs:
+                    if a.shape[0] < V:
+                        pad = np.zeros((V - a.shape[0],) + a.shape[1:], a.dtype)
+                        a = np.concatenate([a, pad])
+                    padded.append(a)
+                arrs = padded
+            out[k] = np.stack(arrs)
         else:
             out[k] = [s[k] for s in samples]
     return out

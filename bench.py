@@ -146,6 +146,41 @@ def _run_batched(model, variables, lanes: int, iters: int) -> float:
     return lanes * iters / (time.perf_counter() - t0)
 
 
+def _run_batched_chunked(model, variables, lanes: int, T: int,
+                         iters: int) -> float:
+    """B lanes x T frames per program call (lax.scan over batched steps)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shasta_tpu.infer import BatchedScenePipeline, default_tracker_params
+
+    _, frame = _frames(model.cfg, lanes)
+    frames = {k: jnp.stack([v] * T) for k, v in frame.items()}
+    pipe = BatchedScenePipeline(
+        model=model, variables=variables, cls_id=2,
+        params=default_tracker_params(max_age=4), batch=lanes,
+    )
+    n_currs = np.full((T, lanes), N_DETS)
+    lags = np.full((T, lanes), 0.5)
+    first = np.zeros((T, lanes), bool)
+    first[0] = True
+    prev = pipe.step_chunk(frames, n_currs, first, lags)  # warmup/compile
+    _ = prev.tid
+    no_reset = np.zeros((T, lanes), bool)
+    t0 = time.perf_counter()
+    prev = None
+    chunks = max(1, iters // T)
+    for _ in range(chunks):
+        out = pipe.step_chunk(frames, n_currs, no_reset, lags)
+        if prev is not None:
+            prev.tid
+            assert bool(np.all(prev.coverage_ok)), \
+                "pallas coverage flag tripped: bench invalid"
+        prev = out
+    prev.tid
+    return lanes * T * chunks / (time.perf_counter() - t0)
+
+
 def _run_chunked(model, variables, T: int, iters: int) -> float:
     """B=1 latency shape, T frames per program call (lax.scan)."""
     import jax.numpy as jnp
@@ -236,6 +271,8 @@ def main():
         profile_dir = "/tmp/shasta_bench_trace"
         jax.profiler.start_trace(profile_dir)
 
+    chunk_T = (int(sys.argv[sys.argv.index("--chunk") + 1])
+               if "--chunk" in sys.argv else 0)
     if lanes > 1:
         import signal
 
@@ -247,7 +284,11 @@ def main():
             # B=1 fallback is smaller and known-good
             signal.signal(signal.SIGALRM, _alarm)
             signal.alarm(1500)
-            fps = _run_batched(model, variables, lanes, iters)
+            if chunk_T > 1:
+                fps = _run_batched_chunked(model, variables, lanes, chunk_T,
+                                           max(iters, 2 * chunk_T))
+            else:
+                fps = _run_batched(model, variables, lanes, iters)
             signal.alarm(0)
         except Exception as e:  # pragma: no cover - memory/compile safety net
             signal.alarm(0)
@@ -259,9 +300,8 @@ def main():
             batch, _ = _frames(cfg, 1)
             variables = _random_variables(model, batch)
             fps = _run_single(model, variables, iters)
-    elif "--chunk" in sys.argv:
-        T = int(sys.argv[sys.argv.index("--chunk") + 1])
-        fps = _run_chunked(model, variables, T, max(iters, 2 * T))
+    elif chunk_T > 1:
+        fps = _run_chunked(model, variables, chunk_T, max(iters, 2 * chunk_T))
     else:
         fps = _run_single(model, variables, iters)
 

@@ -442,7 +442,74 @@ class BatchedScenePipeline:
 
         self._step = jax.jit(make_step(True))
         self._step_safe = jax.jit(make_step(False))  # compiled on first use
+        self._make_step = make_step
+        self._chunks: dict = {}  # (T, fast) -> jitted scan program
         self.reset()
+
+    def _get_chunk(self, T: int, fast: bool):
+        """lax.scan of T batched steps per program call (see
+        ScenePipeline._get_chunk): B lanes x T frames = B*T frames per
+        dispatch/fetch round trip."""
+        key = (T, fast)
+        if key in self._chunks:
+            return self._chunks[key]
+        step = self._make_step(fast)
+
+        def chunk(variables, frames, scalars_t, prev_boxes, prev_feat,
+                  tables, id_counts):
+            def body_fn(carry, xs):
+                prev_boxes, prev_feat, tables, id_counts = carry
+                frame_t, sc = xs
+                curr_feat, tables, id_counts, packed = step(
+                    variables, frame_t, sc, prev_boxes, prev_feat, tables,
+                    id_counts,
+                )
+                return (
+                    (frame_t["det_boxes"], curr_feat, tables, id_counts),
+                    packed,
+                )
+
+            (prev_boxes, prev_feat, tables, id_counts), packed_t = jax.lax.scan(
+                body_fn, (prev_boxes, prev_feat, tables, id_counts),
+                (frames, scalars_t),
+            )
+            return prev_feat, tables, id_counts, packed_t
+
+        fn = jax.jit(chunk)
+        self._chunks[key] = fn
+        return fn
+
+    def step_chunk(self, frames_np: dict, n_currs, resets, time_lags,
+                   safe: bool = False) -> StepOutput:
+        """Advance all B lanes through T frames in one program call.
+
+        frames_np values: (T, B, ...); n_currs/resets/time_lags: (T, B).
+        Returns a StepOutput with leading (T, B) axes (coverage_ok is
+        (T, B))."""
+        frames = {k: jnp.asarray(v) for k, v in frames_np.items()
+                  if not isinstance(v, list)}
+        n_currs = np.asarray(n_currs, np.float32)
+        resets = np.asarray(resets, np.float32)
+        lags = np.asarray(time_lags, np.float32)
+        T = n_currs.shape[0]
+        # per-step n_prev: previous step's n_curr (first step: carried)
+        n_prevs = np.concatenate(
+            [self._n_prev.astype(np.float32)[None], n_currs[:-1]], axis=0
+        )
+        scalars_t = jnp.asarray(
+            np.stack([resets, n_prevs, n_currs, lags], axis=1)
+        )  # (T, 4, B)
+        fn = self._get_chunk(T, fast=not safe)
+        curr_feat, tables, id_counts, packed_t = fn(
+            self.variables, frames, scalars_t, self._prev_boxes,
+            self._prev_feat, self._tables, self._id_counts,
+        )
+        self._prev_feat = curr_feat
+        self._prev_boxes = frames["det_boxes"][-1]
+        self._n_prev = np.asarray(n_currs[-1], np.int32)
+        self._tables = tables
+        self._id_counts = id_counts
+        return StepOutput(packed=packed_t, N=self.model.cfg.max_obj)
 
     def reset(self):
         cfg = self.model.cfg

@@ -23,6 +23,7 @@ CONFIGS = [
     ("b1_pallas", []),
     ("b1_pallas_chunk8", ["--chunk", "8"]),
     ("lanes4_pallas", ["--lanes", "4"]),
+    ("lanes4_chunk4_pallas", ["--lanes", "4", "--chunk", "4"]),
     ("b1_pallas_bf16", ["--bf16"]),
     ("lanes4_pallas_bf16", ["--lanes", "4", "--bf16"]),
     ("b1_xla", ["--no-pallas"]),

@@ -141,6 +141,7 @@ def run_affinity_eval_batched(
     fp_thresh: float = 0.7,
     decision_thresh: float = 0.5,
     progress: bool = False,
+    chunk: int = 1,
 ) -> dict:
     """Scene-batched affinity eval: B scene lanes advance one frame per
     jitted step, the trunk runs ONCE per frame (prev descriptors carried),
@@ -216,6 +217,31 @@ def run_affinity_eval_batched(
     jit_step = jax.jit(make_step(True))
     jit_step_safe = jax.jit(make_step(False))  # compiled only if a flag trips
 
+    def make_chunk(T: int):
+        """lax.scan of T batched eval steps: B*T frames per dispatch/fetch
+        round trip (lane scheduling is deterministic, so the host can
+        stage T steps of frames ahead of time)."""
+        step = make_step(True)
+
+        def chunkfn(variables, frames, resets_t, n_prevs_t, n_currs_t,
+                    prev_boxes, prev_feat):
+            def body_fn(carry, xs):
+                prev_boxes, prev_feat = carry
+                frame_t, reset, n_prev, n_curr = xs
+                curr_feat, packed = step(
+                    variables, frame_t, reset, n_prev, n_curr, prev_boxes,
+                    prev_feat,
+                )
+                return (frame_t["det_boxes"], curr_feat), packed
+
+            (prev_boxes, prev_feat), packed_t = jax.lax.scan(
+                body_fn, (prev_boxes, prev_feat),
+                (frames, resets_t, n_prevs_t, n_currs_t),
+            )
+            return prev_feat, prev_boxes, packed_t
+
+        return jax.jit(chunkfn)
+
     def unpack_dec(packed_np, li):
         p = packed_np[li]
         return {
@@ -277,46 +303,114 @@ def run_affinity_eval_batched(
             if bar:
                 bar.update(1)
 
+    def process_chunk(entry):
+        nonlocal done
+        metas, packed_dev = entry
+        packed_np = np.asarray(packed_dev)  # (T, B, 7, N)
+        for t, (lane_samples_p, active_p) in enumerate(metas):
+            if packed_np[t, 0, 6, 0] <= 0.5:  # coverage flag at step t
+                flagged_scenes.update(active_p)
+            for li, s in enumerate(lane_samples_p):
+                if s is None:
+                    continue
+                _assemble_frame_annos(
+                    s, unpack_dec(packed_np[t], li), nusc_annos, dead_tracker
+                )
+                done += 1
+                if bar:
+                    bar.update(1)
+
+    # ---- the full lane schedule is deterministic: precompute it --------
+    sched: list[list] = []  # rows of per-lane (scene_idx, frame_pos) | None
     while any(si >= 0 for si in lane_scene):
-        lane_samples, resets, n_currs = [], [], []
+        row = []
         for li in range(B):
             si = lane_scene[li]
-            if si < 0:  # idle lane: feed a dummy (first active lane's frame)
-                lane_samples.append(None)
-                resets.append(True)
-                n_currs.append(0)
-                continue
-            s = scenes[si][lane_pos[li]]
-            lane_samples.append(s)
-            resets.append(lane_pos[li] == 0)
-            n_currs.append(len(s["cls_det_boxes"]))
-        template = next(s for s in lane_samples if s is not None)
-        batch_np = collate([s if s is not None else template for s in lane_samples])
-        frame = {k: jnp.asarray(batch_np[k]) for k in keys}
-
-        curr_feat, packed = jit_step(
-            variables, frame, jnp.asarray(resets), jnp.asarray(n_prev),
-            jnp.asarray(n_currs, jnp.int32), prev_boxes, prev_feat,
-        )
-        active = [si for si in lane_scene if si >= 0]
-        prev_feat = curr_feat
-        prev_boxes = frame["det_boxes"]
-        n_prev = np.asarray(n_currs, np.int32)
-
-        # advance lane scheduling (independent of outputs)
+            row.append((si, lane_pos[li]) if si >= 0 else None)
+        sched.append(row)
         for li in range(B):
-            if lane_samples[li] is None:
+            if lane_scene[li] < 0:
                 continue
             lane_pos[li] += 1
             if lane_pos[li] >= len(scenes[lane_scene[li]]):
                 lane_scene[li] = queue.pop(0) if queue else -1
                 lane_pos[li] = 0
 
+    def row_inputs(row):
+        lane_samples, resets, n_currs = [], [], []
+        for entry in row:
+            if entry is None:  # idle lane: feed a dummy (template) frame
+                lane_samples.append(None)
+                resets.append(True)
+                n_currs.append(0)
+                continue
+            si, pos = entry
+            s = scenes[si][pos]
+            lane_samples.append(s)
+            resets.append(pos == 0)
+            n_currs.append(len(s["cls_det_boxes"]))
+        template = next((s for s in lane_samples if s is not None), None)
+        batch_np = collate(
+            [s if s is not None else template for s in lane_samples]
+        )
+        return lane_samples, resets, n_currs, batch_np
+
+    if chunk > 1:
+        chunk_fn = make_chunk(chunk)
+        # pad the tail group with idle rows (outputs skipped)
+        pad = (-len(sched)) % chunk
+        sched_p = sched + [[None] * B] * pad if pad else sched
+        # idle-pad rows still need a template frame to collate
+        for t0 in range(0, len(sched_p), chunk):
+            group = sched_p[t0:t0 + chunk]
+            metas, f_rows, r_rows, np_rows, nc_rows = [], [], [], [], []
+            for row in group:
+                if all(e is None for e in row):
+                    # fully idle pad row: reuse the previous row's frame
+                    lane_samples, resets, n_currs = [None] * B, [True] * B, [0] * B
+                    batch_np = np_prev_frame
+                else:
+                    lane_samples, resets, n_currs, batch_np = row_inputs(row)
+                    np_prev_frame = batch_np
+                active = sorted({e[0] for e in row if e is not None})
+                metas.append((lane_samples, active))
+                f_rows.append(batch_np)
+                r_rows.append(resets)
+                nc_rows.append(n_currs)
+            frames = {
+                k: jnp.asarray(np.stack([fr[k] for fr in f_rows]))
+                for k in keys
+            }
+            n_currs_t = np.asarray(nc_rows, np.int32)
+            n_prevs_t = np.concatenate([n_prev[None], n_currs_t[:-1]], axis=0)
+            prev_feat, prev_boxes, packed_t = chunk_fn(
+                variables, frames, jnp.asarray(np.asarray(r_rows)),
+                jnp.asarray(n_prevs_t), jnp.asarray(n_currs_t),
+                prev_boxes, prev_feat,
+            )
+            n_prev = n_currs_t[-1]
+            if pending is not None:
+                process_chunk(pending)
+            pending = (metas, packed_t)
+        if pending is not None:
+            process_chunk(pending)
+    else:
+        for row in sched:
+            lane_samples, resets, n_currs, batch_np = row_inputs(row)
+            frame = {k: jnp.asarray(batch_np[k]) for k in keys}
+            curr_feat, packed = jit_step(
+                variables, frame, jnp.asarray(resets), jnp.asarray(n_prev),
+                jnp.asarray(n_currs, jnp.int32), prev_boxes, prev_feat,
+            )
+            active = sorted({e[0] for e in row if e is not None})
+            prev_feat = curr_feat
+            prev_boxes = frame["det_boxes"]
+            n_prev = np.asarray(n_currs, np.int32)
+            if pending is not None:
+                process(pending)
+            pending = (lane_samples, active, packed)
         if pending is not None:
             process(pending)
-        pending = (lane_samples, active, packed)
-    if pending is not None:
-        process(pending)
     if bar:
         bar.close()
     assert done == total

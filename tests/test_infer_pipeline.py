@@ -71,19 +71,27 @@ def test_batched_affinity_eval_matches_host(setup):
 
     host = run_affinity_eval(forward, ds)
     fast = run_affinity_eval_batched(model, variables, ds, batch=2)
+    # chunked: T=2 steps per lax.scan program call, same schedule
+    chunked = run_affinity_eval_batched(model, variables, ds, batch=2, chunk=2)
 
     assert set(fast["results"]) == set(host["results"])
+    assert set(chunked["results"]) == set(host["results"])
     for tok in host["results"]:
         ha, fa = host["results"][tok], fast["results"][tok]
-        assert len(ha) == len(fa), tok
-        for h, f in zip(ha, fa):
-            assert h.get("newborn") == f.get("newborn")
-            assert h.get("dead") == f.get("dead")
-            assert h.get("FN") == f.get("FN")
+        ca = chunked["results"][tok]
+        assert len(ha) == len(fa) == len(ca), tok
+        for h, f, c in zip(ha, fa, ca):
+            assert h.get("newborn") == f.get("newborn") == c.get("newborn")
+            assert h.get("dead") == f.get("dead") == c.get("dead")
+            assert h.get("FN") == f.get("FN") == c.get("FN")
             np.testing.assert_allclose(
                 h["ref_detection_score"], f["ref_detection_score"], atol=2e-5
             )
+            np.testing.assert_allclose(
+                c["ref_detection_score"], f["ref_detection_score"], atol=2e-5
+            )
             np.testing.assert_allclose(h["translation"], f["translation"], atol=1e-6)
+            np.testing.assert_allclose(c["translation"], f["translation"], atol=1e-6)
 
 
 def test_scene_pipeline_tracks(setup):

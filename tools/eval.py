@@ -32,6 +32,8 @@ def parse_args():
     p.add_argument("--parity", action="store_true",
                    help="reference-shaped per-pair B=1 loop (default: scene-batched)")
     p.add_argument("--batch", type=int, default=8, help="scene lanes (fast path)")
+    p.add_argument("--chunk", type=int, default=1,
+                   help="frames per program call (lax.scan; amortizes dispatch)")
     return p.parse_args()
 
 
@@ -104,7 +106,7 @@ def main():
     else:
         # default: scene-batched lanes, trunk once per frame
         annos = run_affinity_eval_batched(
-            model, variables, ds, batch=args.batch,
+            model, variables, ds, batch=args.batch, chunk=args.chunk,
             fp_thresh=cfg.get("fp_elim", 0.7),
             decision_thresh=cfg.get("decision_thresh", 0.5),
             progress=True,

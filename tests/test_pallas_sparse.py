@@ -399,3 +399,33 @@ def test_windowed_lookup_fallback_on_unsorted(rng):
     want = sp._sorted_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q))
     got = windowed_lookup(jnp.asarray(keys), jnp.asarray(perm), jnp.asarray(q))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_backbone_pallas_bf16_matches_xla_bf16(rng):
+    """dtype=bfloat16 routes every conv matmul through bf16 (f32 accum);
+    the Pallas path (16-row alignment for packed dtypes) must match the
+    XLA bf16 path, single-lane and multi-lane."""
+    import jax
+
+    from shasta_tpu.data.synthetic import make_batch
+    from shasta_tpu.models import ShastaModel, ShastaConfig
+
+    kw = dict(max_obj=6, grid_shape=(41, 32, 32),
+              cap_conv2=512, cap_conv3=256, cap_conv4=128, cap_extra=128,
+              dtype=jnp.bfloat16)
+    m_xla = ShastaModel(ShastaConfig(**kw))
+    m_pal = ShastaModel(ShastaConfig(use_pallas_gather=True, **kw))
+
+    for B in (1, 2):
+        b = make_batch(m_xla.cfg, B, 128, n_dets=4, seed=B)
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        variables = m_xla.init(jax.random.PRNGKey(0), batch, train=False)
+        bev_xla = m_xla.apply(variables, batch, train=False,
+                              method=ShastaModel.bev_single)
+        bev_pal = m_pal.apply(variables, batch, train=False,
+                              method=ShastaModel.bev_single)
+        # identical bf16 rounding on both paths -> tight tolerance
+        np.testing.assert_allclose(
+            np.asarray(bev_pal), np.asarray(bev_xla), atol=1e-3,
+            err_msg=f"B={B}",
+        )

@@ -12,7 +12,8 @@ measured config on v5e (B=1 pallas 2.94 f/s vs 4-lane pallas 2.79 vs
 budget and fall back to XLA row gathers). Flags:
   --lanes N     scene lanes (default 1; 4-lane packs frames per program)
   --chunk T     T frames per program call (lax.scan; amortizes the per-
-                call dispatch/RPC overhead of the relay; B=1 only)
+                call dispatch/RPC overhead of the relay; composes with
+                --lanes N: B lanes x T frames per program)
   --b1          force the single-lane latency shape
   --no-pallas   XLA gathers/searchsorted instead of the Pallas kernels
   --bf16        trunk matmuls in bf16 (f32 accumulation)
@@ -64,7 +65,7 @@ def ensure_backend_alive(timeout_s: float = 240.0) -> bool:
     return not str(q.get()).startswith("error")
 
 
-def _make_cfg(lanes: int):
+def _make_cfg(lanes: int, force_no_pallas: bool = False):
     import jax.numpy as jnp
 
     from shasta_tpu.models import ShastaConfig
@@ -76,7 +77,8 @@ def _make_cfg(lanes: int):
         cap_conv3=25000 * lanes,
         cap_conv4=12000 * lanes,
         cap_extra=12000 * lanes,
-        use_pallas_gather="--no-pallas" not in sys.argv,
+        use_pallas_gather=(not force_no_pallas)
+        and "--no-pallas" not in sys.argv,
         dtype=jnp.bfloat16 if "--bf16" in sys.argv else None,
         # synthetic frames are key-sorted; skips the stage-0 argsort when
         # one frame is packed per program (B=1 lane), no-op otherwise
@@ -261,7 +263,10 @@ def main():
         lanes = int(sys.argv[sys.argv.index("--lanes") + 1])
     iters = 30 if on_tpu else 3
 
-    cfg = _make_cfg(lanes)
+    # CPU fallback MUST NOT run the Pallas kernels: off-TPU they execute in
+    # interpret mode (Python loop per tile) and record garbage (~0.02 f/s in
+    # BENCH_r02.json). The XLA path is the honest CPU measurement.
+    cfg = _make_cfg(lanes, force_no_pallas=not on_tpu)
     model = ShastaModel(cfg)
     batch, _ = _frames(cfg, lanes)
     variables = _random_variables(model, batch)
@@ -295,7 +300,7 @@ def main():
             print(f"WARNING: {lanes}-lane bench failed ({e}); falling back to B=1",
                   file=sys.stderr)
             lanes = 1
-            cfg = _make_cfg(1)
+            cfg = _make_cfg(1, force_no_pallas=not on_tpu)
             model = ShastaModel(cfg)
             batch, _ = _frames(cfg, 1)
             variables = _random_variables(model, batch)

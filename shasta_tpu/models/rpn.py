@@ -6,7 +6,9 @@ det3d/models/tracker/shasta.py:42-47 (3x3 shared conv 512->64 + BN + ReLU).
 
 Differences from the reference implementation (not from its math):
 - NHWC everywhere (XLA's preferred TPU layout) instead of NCHW.
-- BatchNorm eps=1e-3; flax momentum 0.99 == torch momentum 0.01.
+- Neck/backbone BatchNorm eps=1e-3, flax momentum 0.99 == torch momentum
+  0.01 (det3d norm_cfg, necks/rpn.py:47); SharedConv BN uses plain torch
+  BatchNorm2d defaults eps=1e-5 (shasta.py:45).
 """
 from __future__ import annotations
 
@@ -151,10 +153,14 @@ class SharedConv(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        # Plain torch BatchNorm2d defaults (shasta.py:45): eps=1e-5 /
+        # momentum 0.1 — UNLIKE the neck/backbone BNs, which use the det3d
+        # norm_cfg eps=1e-3 (necks/rpn.py:47). Pinned by the vendored
+        # reference-source parity test (tests/test_reference_literal.py).
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.99,
-            epsilon=1e-3,
+            momentum=0.9,
+            epsilon=1e-5,
             dtype=jnp.float32,
             name="bn",
         )(x)

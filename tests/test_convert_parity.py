@@ -86,7 +86,9 @@ def test_shared_conv_conversion(rng):
     torch.manual_seed(1)
     oracle = nn.Sequential(
         nn.Conv2d(6, 4, 3, padding=1, bias=True),
-        nn.BatchNorm2d(4, eps=1e-3, momentum=0.01),
+        # plain BatchNorm2d defaults (eps=1e-5): shasta.py:45 does NOT use
+        # the det3d norm_cfg here, unlike the neck/backbone
+        nn.BatchNorm2d(4),
         nn.ReLU(),
     )
     with torch.no_grad():

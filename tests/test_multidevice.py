@@ -20,6 +20,9 @@ from shasta_tpu.train.loop import (
     make_train_step,
 )
 
+# 8-device CPU mesh: large sharded compiles
+pytestmark = pytest.mark.slow
+
 B = 8  # one sample per fake device
 
 

@@ -15,6 +15,10 @@ from shasta_tpu.ops.pallas.window_conv import (
     windowed_lookup,
 )
 from test_sparse import _make_sparse
+import pytest
+
+# Pallas interpret-mode kernels: minutes per test on CPU
+pytestmark = pytest.mark.slow
 
 
 def _xla_ref(feats, gather, weight):

@@ -13,6 +13,9 @@ from shasta_tpu.preprocessing.nuscenes_chain import run_chain
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# full CLI chains over a synthetic dataroot (~4 min)
+pytestmark = pytest.mark.slow
+
 CFG_TEMPLATE = """
 import os, sys
 sys.path.insert(0, r"{repo}/configs/nusc")

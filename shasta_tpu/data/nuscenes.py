@@ -218,9 +218,10 @@ class PointPipelineConfig:
     # recompiles the serving program once per tier shape (cached), so
     # sparse frames run a proportionally cheaper stage-0 — a real-data
     # throughput win with zero effect on results (padded rows are
-    # masked). B=1 serving only: collate() of mixed tiers re-pads to the
-    # batch max. Tiers are clipped to max_voxels; max_voxels is always
-    # the last tier.
+    # masked). The tier win applies to B=1 serving; the batched/chunked
+    # eval runner re-pads every frame to the dataset-global max tier so
+    # its programs keep one static shape (runner.py _pad_tiers). Tiers
+    # are clipped to max_voxels; max_voxels is always the last tier.
     voxel_tiers: tuple[int, ...] | None = None
 
 

@@ -193,7 +193,9 @@ def run_affinity_eval_batched(
                 with collect_coverage_flags() as fl:
                     curr_feat, dec = body(variables, frame, reset, n_prev,
                                           n_curr, prev_boxes, prev_feat)
-                ok = fl.all_ok()
+                # strict: scenes also replay on soft truncation flags so
+                # batched results stay bit-consistent with the safe path
+                ok = fl.all_ok_strict()
             else:
                 curr_feat, dec = body(variables, frame, reset, n_prev,
                                       n_curr, prev_boxes, prev_feat)
@@ -336,6 +338,24 @@ def run_affinity_eval_batched(
                 lane_scene[li] = queue.pop(0) if queue else -1
                 lane_pos[li] = 0
 
+    # Occupancy-tiered datasets (PointPipelineConfig.voxel_tiers) emit
+    # per-frame voxel capacities; batched/chunked serving needs ONE static
+    # shape per program, so re-pad every frame to the dataset-global max
+    # tier up front (a per-row max would recompile per distinct shape mix).
+    vox_keys = ("voxels", "num_points", "coordinates", "voxels_valid")
+    v_max = max((s["voxels"].shape[0] for s in samples), default=0)
+    tiered = any(s["voxels"].shape[0] != v_max for s in samples)
+
+    def _pad_tiers(batch_np):
+        for k in vox_keys:
+            a = batch_np[k]
+            if a.shape[1] < v_max:
+                pad = np.zeros(
+                    (a.shape[0], v_max - a.shape[1]) + a.shape[2:], a.dtype
+                )
+                batch_np[k] = np.concatenate([a, pad], axis=1)
+        return batch_np
+
     def row_inputs(row):
         lane_samples, resets, n_currs = [], [], []
         for entry in row:
@@ -353,6 +373,8 @@ def run_affinity_eval_batched(
         batch_np = collate(
             [s if s is not None else template for s in lane_samples]
         )
+        if tiered:
+            batch_np = _pad_tiers(batch_np)
         return lane_samples, resets, n_currs, batch_np
 
     if chunk > 1:
@@ -363,7 +385,7 @@ def run_affinity_eval_batched(
         # idle-pad rows still need a template frame to collate
         for t0 in range(0, len(sched_p), chunk):
             group = sched_p[t0:t0 + chunk]
-            metas, f_rows, r_rows, np_rows, nc_rows = [], [], [], [], []
+            metas, f_rows, r_rows, nc_rows = [], [], [], []
             for row in group:
                 if all(e is None for e in row):
                     # fully idle pad row: reuse the previous row's frame

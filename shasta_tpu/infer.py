@@ -119,6 +119,24 @@ class StepOutput:
             p[..., 5, 0] > 0.5
         )
 
+    @property
+    def coverage_ok_strict(self):
+        """coverage_ok AND the soft flags (per-lane slot-budget truncation,
+        ops/sparse.py): False means the fast program's results follow the
+        documented per-lane semantics but may differ from the global-layout
+        safe program — serving replays the scene on this one; benchmarks
+        (identical cost either way) gate on coverage_ok alone."""
+        if self._eager is not None:
+            return self._eager.get(
+                "coverage_ok_strict", self._eager.get("coverage_ok", True)
+            )
+        p = self._arr()
+        if p.shape[-2] < 6:
+            return True
+        return bool(np.all(p[..., 5, 1] > 0.5)) if p.ndim == 2 else (
+            p[..., 5, 1] > 0.5
+        )
+
 
 def _dets_with_fn(boxes, prev_boxes, dec, cls_id):
     """Build the tracker's det rows: kept curr dets [0, N) followed by
@@ -216,19 +234,26 @@ class ScenePipeline:
                     with collect_coverage_flags() as fl:
                         curr_feat, dec, table_, idc, tid, used, ref = body(*args)
                     ok = fl.all_ok()
+                    ok_strict = fl.all_ok_strict()
                 else:
                     curr_feat, dec, table_, idc, tid, used, ref = body(*args)
-                    ok = jnp.bool_(True)
+                    ok = ok_strict = jnp.bool_(True)
                 # pack every host-bound output into ONE f32 array: through
                 # the remote-TPU relay each device->host fetch is a round
-                # trip (~30 ms); tids stay exact in f32 (< 2^24)
+                # trip (~30 ms); tids stay exact in f32 (< 2^24).
+                # flag row: [0]=hard coverage ok, [1]=strict (incl. soft
+                # truncation flags; serving replays on this one)
+                flag_row = jnp.concatenate([
+                    jnp.stack([ok, ok_strict]).astype(jnp.float32),
+                    jnp.ones((2 * N - 2,), jnp.float32),
+                ])
                 packed = jnp.stack([
                     tid.astype(jnp.float32),
                     used.astype(jnp.float32),
                     ref,
                     jnp.pad(dec.keep.astype(jnp.float32), (0, N)),
                     jnp.pad(dec.fn.astype(jnp.float32), (0, N)),
-                    jnp.broadcast_to(ok.astype(jnp.float32), (2 * N,)),
+                    flag_row,
                 ])
                 return curr_feat, packed, table_, idc
             return step
@@ -424,18 +449,25 @@ class BatchedScenePipeline:
                         (curr_feat, tables, id_counts, tid, used, ref, keep,
                          fn) = body(*args)
                     ok = fl.all_ok()
+                    ok_strict = fl.all_ok_strict()
                 else:
                     (curr_feat, tables, id_counts, tid, used, ref, keep,
                      fn) = body(*args)
-                    ok = jnp.bool_(True)
-                # one packed host-bound array (see ScenePipeline.step)
+                    ok = ok_strict = jnp.bool_(True)
+                # one packed host-bound array (see ScenePipeline.step);
+                # flag row cols: [0]=hard ok, [1]=strict ok (incl. soft
+                # per-lane-truncation flags)
+                flag_row = jnp.concatenate([
+                    jnp.stack([ok, ok_strict]).astype(jnp.float32),
+                    jnp.ones((2 * N - 2,), jnp.float32),
+                ])
                 packed = jnp.stack([
                     tid.astype(jnp.float32),
                     used.astype(jnp.float32),
                     ref,
                     jnp.pad(keep.astype(jnp.float32), ((0, 0), (0, N))),
                     jnp.pad(fn.astype(jnp.float32), ((0, 0), (0, N))),
-                    jnp.broadcast_to(ok.astype(jnp.float32), (B, 2 * N)),
+                    jnp.broadcast_to(flag_row[None], (B, 2 * N)),
                 ], axis=1)  # (B, 6, 2N)
                 return curr_feat, tables, id_counts, packed
             return step
@@ -703,17 +735,19 @@ class MultiClassScenePipeline:
                     (curr_feats, table_, idc, tid, used, ref, keeps,
                      fns) = body(*args)
                 ok = fl.all_ok()
+                ok_strict = fl.all_ok_strict()
             else:
                 (curr_feats, table_, idc, tid, used, ref, keeps,
                  fns) = body(*args)
-                ok = jnp.bool_(True)
+                ok = ok_strict = jnp.bool_(True)
             # ONE packed host-bound array: tid/used/ref (class-major 2N_c
-            # spans) + per-class keep + fn + the coverage flag
+            # spans) + per-class keep + fn + the [hard, strict] flags
             packed = jnp.concatenate(
                 [tid.astype(jnp.float32), used.astype(jnp.float32), ref]
                 + [k.astype(jnp.float32) for k in keeps]
                 + [f.astype(jnp.float32) for f in fns]
-                + [ok.astype(jnp.float32)[None]]
+                + [ok.astype(jnp.float32)[None],
+                   ok_strict.astype(jnp.float32)[None]]
             )
             return curr_feats, table_, idc, packed
 
@@ -786,6 +820,7 @@ class MultiClassScenePipeline:
                 kf.setdefault(name, [None, None])[half] = p[off:off + n_c] > 0.5
                 off += n_c
         ok = bool(p[off] > 0.5)
+        ok_strict = bool(p[off + 1] > 0.5) if off + 1 < len(p) else ok
         out = {}
         lo = 0
         for name in names:
@@ -794,6 +829,7 @@ class MultiClassScenePipeline:
                 tid=tid_np[lo:hi], used=used_np[lo:hi],
                 keep=kf[name][0], ref=ref_np[lo:hi],
                 fn=kf[name][1], coverage_ok=ok,
+                coverage_ok_strict=ok_strict,
             )
             lo = hi
         return out
@@ -864,7 +900,8 @@ def track_scene_dataset(pipeline: ScenePipeline, dataset, frame_lags=None,
                     translation=tr,
                 ))
         results[sample["token"]] = annos
-        return bool(np.all(out.coverage_ok))
+        # strict: replay also on soft per-lane-truncation divergence
+        return bool(np.all(out.coverage_ok_strict))
 
     def replay_scene(scene_samples):
         """A frame tripped a Pallas coverage flag: rerun the whole scene

@@ -64,32 +64,66 @@ def _interpret_default() -> bool:
 # to the sink; the caller folds them into its outputs and REPLAYS through
 # the safe (conditional) program in the rare case a flag trips.
 
-_FLAG_SINK: list | None = None
+_FLAG_SINK: tuple[list, list] | None = None  # (hard, soft)
 
 
 class collect_coverage_flags:
     """Trace-time context: kernels run unconditionally; their coverage-ok
-    scalars are appended here instead of guarding lax.cond fallbacks."""
+    scalars are appended here instead of guarding lax.cond fallbacks.
+
+    Two flag classes:
+      hard (self.flags)      — kernel span overflow: the Pallas result may
+                               be WRONG vs the safe program. all_ok().
+      soft (self.soft_flags) — documented-divergence signals (per-lane
+                               slot-budget truncation, ops/sparse.py):
+                               results follow the per-lane semantics but
+                               differ from the global-layout safe path.
+                               all_ok_strict() folds these in; serving
+                               replays on it for bit-consistency with the
+                               XLA path, while benchmarks (equal cost
+                               either way) gate on all_ok() alone.
+    """
 
     def __enter__(self):
         global _FLAG_SINK
         self._prev = _FLAG_SINK
-        _FLAG_SINK = []
+        _FLAG_SINK = ([], [])
         return self
 
     def __exit__(self, *exc):
         global _FLAG_SINK
-        self.flags = _FLAG_SINK
+        self.flags, self.soft_flags = _FLAG_SINK
         _FLAG_SINK = self._prev
         return False
 
-    def all_ok(self):
+    @staticmethod
+    def _fold(flags):
         import operator
         from functools import reduce
 
-        if not self.flags:
+        if not flags:
             return jnp.bool_(True)
-        return reduce(operator.and_, self.flags)
+        return reduce(operator.and_, flags)
+
+    def all_ok(self):
+        return self._fold(self.flags)
+
+    def all_ok_strict(self):
+        return self._fold(self.flags + self.soft_flags)
+
+
+def report_coverage_flag(ok, soft: bool = False) -> bool:
+    """Append an externally computed coverage-ok scalar to the active sink.
+
+    soft=True marks a documented-divergence signal (see
+    collect_coverage_flags). Returns False (and does nothing) when no sink
+    is active — callers that need a hard guarantee outside
+    collect_coverage_flags() must guard themselves."""
+    global _FLAG_SINK
+    if _FLAG_SINK is None:
+        return False
+    _FLAG_SINK[1 if soft else 0].append(ok)
+    return True
 
 
 # --------------------------------------------------------------------------
@@ -306,7 +340,7 @@ def windowed_lookup(sorted_keys, perm, query, interpret: bool | None = None,
         return _xla_lookup(sorted_keys, perm, query)
 
     if _FLAG_SINK is not None:
-        _FLAG_SINK.append(~jnp.any(pos < 0))
+        _FLAG_SINK[0].append(~jnp.any(pos < 0))
         return jnp.where(pos[:M] < 0, V, pos[:M])
     return jax.lax.cond(
         jnp.any(pos < 0), xla_path, lambda _: pos[:M], None
@@ -399,7 +433,7 @@ def windowed_lookup_triple(sorted_keys, perm, centers,
         return _xla_lookup(sorted_keys, perm, q3)
 
     if _FLAG_SINK is not None:
-        _FLAG_SINK.append(~jnp.any(pos < 0))
+        _FLAG_SINK[0].append(~jnp.any(pos < 0))
         return jnp.where(pos[:M] < 0, V, pos[:M])
     return jax.lax.cond(
         jnp.any(pos < 0), xla_path, lambda _: pos[:M], None
@@ -589,6 +623,6 @@ def windowed_gather_matmul(
                           interpret=bool(interpret))[:M]
 
     if _FLAG_SINK is not None:
-        _FLAG_SINK.append(ok)
+        _FLAG_SINK[0].append(ok)
         return pallas_path(None)
     return jax.lax.cond(ok, pallas_path, xla_path, None)

@@ -355,6 +355,8 @@ def build_strided_plan(
         return jnp.where(found, s[jnp.minimum(pos, VC - 1)], SENTINEL)
 
     if lane_slots > 1:
+        from .pallas.window_conv import report_coverage_flag
+
         B = st.batch_size
         cap_lane = max_out // B
         ch = jnp.cumsum(head)
@@ -363,11 +365,17 @@ def build_strided_plan(
         bnd = jnp.searchsorted(s, jnp.arange(B, dtype=s.dtype) * s_out,
                                side="left")
         bases = jnp.where(bnd > 0, ch[jnp.maximum(bnd - 1, 0)], 0)
+        ends = jnp.concatenate([bases[1:], ch[-1:]])
+        # Per-lane slot budgets truncate each frame independently; WHICH
+        # voxels survive then differs from the global front-packed layout
+        # the XLA path uses. Surface binding caps through the coverage-flag
+        # sink so callers replay via the safe path (whose global truncation
+        # is the documented semantics) instead of silently diverging.
+        report_coverage_flag(jnp.all(ends - bases <= cap_lane))
         slot_lane = (jnp.arange(max_out, dtype=jnp.int32) // cap_lane)
         if compact_ok:
             # per-lane slot queries: lane b's j-th unique is global unique
             # bases[b] + j, valid while it stays inside the lane's range
-            ends = jnp.concatenate([bases[1:], ch[-1:]])
             j_in = jnp.arange(max_out, dtype=jnp.int32) % cap_lane
             uq = bases[slot_lane].astype(jnp.int32) + j_in
             q = jnp.where(uq < ends[slot_lane].astype(jnp.int32),

@@ -124,7 +124,7 @@ def run_multiclass(class_specs: dict, out_path: str, trunk_key: str | None = Non
         for name, o in out.items():
             s = cls_samples[name]
             N = class_heads[name][0].cfg.max_obj
-            ok = ok and bool(o.coverage_ok)
+            ok = ok and bool(o.coverage_ok_strict)
             for k in range(len(s["cls_det_boxes"])):
                 if not o.used[k]:
                     continue

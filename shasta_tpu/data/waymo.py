@@ -92,37 +92,42 @@ def write_objects_bin(segments: dict, out_path: str) -> int:
     segments: {segment_name: {"timestamps": [us...], "frames": [[{
         "bbox": mot row [x,y,z,heading,l,w,h,score], "type": int,
         "id": str (optional, tracking)}]]}}.
-    Returns the object count. Needs the optional waymo-open-dataset protos.
+    Returns the object count. Wire bytes come from the in-repo codec
+    (data/waymo_protos.py, protoc-cross-validated) so no waymo-open-dataset
+    install is needed; the output parses in the official evaluator.
     """
-    try:
-        from waymo_open_dataset.protos import metrics_pb2
-    except ImportError as e:
-        raise ImportError("waymo-open-dataset is required to write Objects bins") from e
+    from .waymo_protos import encode_objects
 
-    objects = metrics_pb2.Objects()
+    rows = []
     n = 0
     for seg, data in segments.items():
         ts = data["timestamps"]
         for fi, frame in enumerate(data["frames"]):
             for d in frame:
-                o = objects.objects.add()
-                o.context_name = seg
-                o.frame_timestamp_micros = int(ts[fi])
                 b = d["bbox"]
-                o.object.box.center_x = float(b[0])
-                o.object.box.center_y = float(b[1])
-                o.object.box.center_z = float(b[2])
-                o.object.box.heading = float(b[3])
-                o.object.box.length = float(b[4])
-                o.object.box.width = float(b[5])
-                o.object.box.height = float(b[6])
-                o.score = float(b[7])
-                o.object.type = int(d["type"])
+                label = {
+                    "box": {
+                        "center_x": float(b[0]),
+                        "center_y": float(b[1]),
+                        "center_z": float(b[2]),
+                        "heading": float(b[3]),
+                        "length": float(b[4]),
+                        "width": float(b[5]),
+                        "height": float(b[6]),
+                    },
+                    "type": int(d["type"]),
+                }
                 if d.get("id") is not None:
-                    o.object.id = str(d["id"])
+                    label["id"] = str(d["id"])
+                rows.append({
+                    "object": label,
+                    "score": float(b[7]),
+                    "context_name": seg,
+                    "frame_timestamp_micros": int(ts[fi]),
+                })
                 n += 1
     with open(out_path, "wb") as f:
-        f.write(objects.SerializeToString())
+        f.write(encode_objects(rows))
     return n
 
 
@@ -181,17 +186,21 @@ def extract_waymo_segment(tfrecord_path: str, out_dir: str,
       gt_info/{segment}.npz     bboxes (mot rows [x,y,z,o,l,w,h,s]) /
                                 types (Label.Type ints) / ids, per frame
 
-    Record framing is read dependency-free (shasta_tpu.data.tfrecord); only
-    the Frame proto schema needs the optional waymo-open-dataset package.
+    Both the record framing (shasta_tpu.data.tfrecord) and the Frame proto
+    subset (shasta_tpu.data.waymo_protos) are read dependency-free; when
+    the optional waymo-open-dataset package is installed its parser is
+    preferred (it validates the full schema).
     Returns the segment name.
     """
     try:
         from waymo_open_dataset import dataset_pb2
-    except ImportError as e:
-        raise ImportError(
-            "waymo-open-dataset is required to parse Frame protos; provide "
-            "pre-extracted npz artifacts instead (see module docstring)"
-        ) from e
+
+        def _parse(payload):
+            frame = dataset_pb2.Frame()
+            frame.ParseFromString(payload)
+            return frame
+    except ImportError:
+        from .waymo_protos import parse_frame as _parse
     from .tfrecord import read_tfrecord
 
     segment = _segment_name(tfrecord_path)
@@ -199,8 +208,7 @@ def extract_waymo_segment(tfrecord_path: str, out_dir: str,
     ego: dict[str, np.ndarray] = {}
     gt_boxes, gt_types, gt_ids = [], [], []
     for i, payload in enumerate(read_tfrecord(tfrecord_path)):
-        frame = dataset_pb2.Frame()
-        frame.ParseFromString(payload)
+        frame = _parse(payload)
         timestamps.append(int(frame.timestamp_micros))
         ego[str(i)] = np.asarray(list(frame.pose.transform), np.float64).reshape(4, 4)
         fb, ft, fi = [], [], []
@@ -242,11 +250,10 @@ def decode_objects_bin(bin_path: str, data_dir: str, out_subdir: str,
     and the detection decode (waymo_data/detection.py:55-189 -> dets layout
     incl. velos from object.metadata when with_velocity). Segments and
     frame indices come from the previously extracted ts_info jsons.
+    Parses via the in-repo codec (data/waymo_protos.py) — no
+    waymo-open-dataset install required.
     """
-    try:
-        from waymo_open_dataset.protos import metrics_pb2
-    except ImportError as e:
-        raise ImportError("waymo-open-dataset is required to parse Objects bins") from e
+    from .waymo_protos import parse_objects
 
     ts_dir = os.path.join(data_dir, "ts_info")
     ts_info = {}
@@ -254,9 +261,8 @@ def decode_objects_bin(bin_path: str, data_dir: str, out_subdir: str,
         with open(os.path.join(ts_dir, fn)) as f:
             ts_info[fn.split(".")[0]] = json.load(f)
 
-    objects = metrics_pb2.Objects()
     with open(bin_path, "rb") as f:
-        objects.ParseFromString(f.read())
+        objects = parse_objects(f.read())
 
     acc = {
         seg: {"bboxes": {}, "types": {}, "ids": {}, "velos": {}}

@@ -79,6 +79,8 @@ def test_waymo_scene_tracking(waymo_tree):
     assert s["idsw"] == 0
 
 
-def test_waymo_extraction_gated():
-    with pytest.raises(ImportError):
-        extract_waymo_segment("x.tfrecord", "/tmp/out")
+def test_waymo_extraction_dependency_free(tmp_path):
+    # extraction no longer needs waymo-open-dataset (waymo_protos fallback);
+    # a missing record file is the only failure mode here
+    with pytest.raises(FileNotFoundError):
+        extract_waymo_segment(str(tmp_path / "missing.tfrecord"), str(tmp_path))

@@ -1,18 +1,17 @@
 """Waymo raw extraction: TFRecord framing + Frame/Objects decoding.
 
-The proto schemas come from the optional waymo-open-dataset package; these
-tests inject a minimal stand-in so the full extraction path (record
-framing -> proto parse -> npz contracts -> MOT bridge) runs in this image.
+The whole chain runs on REAL protobuf wire bytes via the in-repo codec
+(shasta_tpu.data.waymo_protos, protoc-cross-validated in
+test_waymo_protos.py) — no waymo-open-dataset install and no fakes.
 """
 import json
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
 
-from shasta_tpu.data.tfrecord import crc32c, masked_crc, read_tfrecord, write_tfrecord
+from shasta_tpu.data.tfrecord import crc32c, read_tfrecord, write_tfrecord
+from shasta_tpu.data import waymo_protos as wp
 
 
 def test_crc32c_known_vector():
@@ -40,110 +39,28 @@ def test_tfrecord_detects_corruption(tmp_path):
     assert len(list(read_tfrecord(path))) == 1
 
 
-# ---------------------------------------------------------------------------
-# minimal waymo_open_dataset stand-in: protos serialized as json
-
-
-class _NS(types.SimpleNamespace):
-    pass
-
-
-def _obj(d):
-    if isinstance(d, dict):
-        return _NS(**{k: _obj(v) for k, v in d.items()})
-    if isinstance(d, list):
-        return [_obj(v) for v in d]
-    return d
-
-
-class _FakeFrame:
-    def ParseFromString(self, data):
-        o = _obj(json.loads(data.decode()))
-        self.__dict__.update(o.__dict__)
-
-
-class _FakeBox:
-    def __init__(self):
-        self.center_x = self.center_y = self.center_z = 0.0
-        self.heading = self.length = self.width = self.height = 0.0
-
-
-class _FakeObject:
-    def __init__(self):
-        self.context_name = ""
-        self.frame_timestamp_micros = 0
-        self.score = 0.0
-        self.object = types.SimpleNamespace(box=_FakeBox(), type=0, id="")
-
-
-class _RepeatedObjects(list):
-    def add(self):
-        o = _FakeObject()
-        self.append(o)
-        return o
-
-
-class _FakeObjects:
-    def __init__(self):
-        self.objects = _RepeatedObjects()
-
-    def ParseFromString(self, data):
-        self.objects = _obj(json.loads(data.decode()))
-
-    def SerializeToString(self):
-        return json.dumps([
-            {
-                "context_name": o.context_name,
-                "frame_timestamp_micros": o.frame_timestamp_micros,
-                "score": o.score,
-                "object": {
-                    "box": vars(o.object.box),
-                    "type": o.object.type,
-                    "id": o.object.id,
-                },
-            }
-            for o in self.objects
-        ]).encode()
-
-
-@pytest.fixture
-def fake_waymo(monkeypatch):
-    pkg = types.ModuleType("waymo_open_dataset")
-    ds = types.ModuleType("waymo_open_dataset.dataset_pb2")
-    ds.Frame = _FakeFrame
-    protos = types.ModuleType("waymo_open_dataset.protos")
-    metrics = types.ModuleType("waymo_open_dataset.protos.metrics_pb2")
-    metrics.Objects = _FakeObjects
-    pkg.dataset_pb2 = ds
-    pkg.protos = protos
-    protos.metrics_pb2 = metrics
-    for name, mod in (
-        ("waymo_open_dataset", pkg),
-        ("waymo_open_dataset.dataset_pb2", ds),
-        ("waymo_open_dataset.protos", protos),
-        ("waymo_open_dataset.protos.metrics_pb2", metrics),
-    ):
-        monkeypatch.setitem(sys.modules, name, mod)
-
-
-def _frame_payload(ts, ego16, labels):
-    return json.dumps({
+def _frame_payload(ts, ego16, labels, name="segment-123"):
+    return wp.encode_frame({
+        "context": {"name": name,
+                    "stats": {"location": "location_sf", "time_of_day": "Day"}},
         "timestamp_micros": ts,
-        "pose": {"transform": ego16},
+        "pose": {"transform": [float(x) for x in ego16]},
         "laser_labels": labels,
-    }).encode()
+    })
 
 
-def _label(x, y, lid, typ=1):
+def _label(x, y, lid, typ=1, num_points=10):
     return {
-        "box": {"center_x": x, "center_y": y, "center_z": 0.5, "heading": 0.1,
-                "length": 4.5, "width": 2.0, "height": 1.6},
+        "box": {"center_x": float(x), "center_y": float(y), "center_z": 0.5,
+                "heading": 0.1, "length": 4.5, "width": 2.0, "height": 1.6},
         "type": typ,
         "id": lid,
+        "num_lidar_points_in_box": num_points,
+        "metadata": {"speed_x": 1.0, "speed_y": 0.0},
     }
 
 
-def test_extract_waymo_segment(fake_waymo, tmp_path):
+def test_extract_waymo_segment(tmp_path):
     from shasta_tpu.data.waymo import extract_waymo_segment
 
     seg_path = str(tmp_path / "segment-123_with_camera_labels.tfrecord")
@@ -172,7 +89,7 @@ def test_extract_waymo_segment(fake_waymo, tmp_path):
     assert list(gt["types"][0]) == [1, 2]
 
 
-def test_decode_objects_bin_dets_and_gt(fake_waymo, tmp_path):
+def test_decode_objects_bin_dets_and_gt(tmp_path):
     from shasta_tpu.data.waymo import decode_objects_bin, extract_waymo_segment
 
     seg_path = str(tmp_path / "segment-123.tfrecord")
@@ -209,7 +126,7 @@ def test_decode_objects_bin_dets_and_gt(fake_waymo, tmp_path):
         },
     ]
     bin_path = str(tmp_path / "dets.bin")
-    open(bin_path, "wb").write(json.dumps(objs).encode())
+    open(bin_path, "wb").write(wp.encode_objects(objs))
 
     segs = decode_objects_bin(bin_path, out, os.path.join("detections", "cp", "dets"),
                               with_velocity=True)
@@ -233,18 +150,17 @@ def test_decode_objects_bin_dets_and_gt(fake_waymo, tmp_path):
     assert len(frames) == 2 and frames[0].dets.shape[1] == 8
 
 
-def test_write_objects_bin_roundtrip(fake_waymo, tmp_path):
+def test_write_objects_bin_roundtrip(tmp_path):
     """Official-eval bin writer (waymo_common.py:52-116 contract): what we
     write, decode_objects_bin reads back identically."""
     from shasta_tpu.data.waymo import decode_objects_bin, write_objects_bin
-    from shasta_tpu.data.tfrecord import write_tfrecord
     from shasta_tpu.data.waymo import extract_waymo_segment
 
     # an extracted tree provides the ts_info the decoder aligns against
     seg_path = str(tmp_path / "segment-9.tfrecord")
     ego = list(np.eye(4).reshape(-1))
-    write_tfrecord(seg_path, [_frame_payload(5000, ego, []),
-                              _frame_payload(5500, ego, [])])
+    write_tfrecord(seg_path, [_frame_payload(5000, ego, [], name="segment-9"),
+                              _frame_payload(5500, ego, [], name="segment-9")])
     out = str(tmp_path / "mot")
     seg = extract_waymo_segment(seg_path, out, with_gt=False)
 
@@ -269,7 +185,7 @@ def test_write_objects_bin_roundtrip(fake_waymo, tmp_path):
     assert list(d["ids"][0]) == ["t7"] and list(d["ids"][1]) == ["t7"]
 
 
-def test_eval_waymo_tracking_local(fake_waymo, tmp_path):
+def test_eval_waymo_tracking_local(tmp_path):
     """Devkit-free CLEAR-MOT over the extracted tree: perfect hypotheses
     score MOTA 1.0; a broken-identity run shows id switches."""
     from shasta_tpu.data.waymo import eval_waymo_tracking, extract_waymo_segment
@@ -277,9 +193,9 @@ def test_eval_waymo_tracking_local(fake_waymo, tmp_path):
     seg_path = str(tmp_path / "segment-5.tfrecord")
     ego = list(np.eye(4).reshape(-1))
     write_tfrecord(seg_path, [
-        _frame_payload(1000, ego, [_label(10, 0, "a")]),
-        _frame_payload(1500, ego, [_label(10.4, 0, "a")]),
-        _frame_payload(2000, ego, [_label(10.8, 0, "a")]),
+        _frame_payload(1000, ego, [_label(10, 0, "a")], name="segment-5"),
+        _frame_payload(1500, ego, [_label(10.4, 0, "a")], name="segment-5"),
+        _frame_payload(2000, ego, [_label(10.8, 0, "a")], name="segment-5"),
     ])
     out = str(tmp_path / "mot")
     seg = extract_waymo_segment(seg_path, out)

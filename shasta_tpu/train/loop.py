@@ -108,9 +108,13 @@ def create_train_state(model, variables, tx) -> TrainState:
     )
 
 
+FROZEN_TRUNK_KEYS = ("backbone", "neck")
+
+
 def make_train_step(model, tx, mesh: Mesh | None = None, axis: str = "data",
                     bn_train: bool = False, donate: bool = True,
-                    remat: bool = False, cached: bool = False):
+                    remat: bool = False, cached: bool = False,
+                    frozen_trunk_fast: bool = False):
     """Build the jitted train step; data-parallel over `mesh` if given.
 
     remat=True rematerializes the forward during backprop (jax.checkpoint)
@@ -122,8 +126,21 @@ def make_train_step(model, tx, mesh: Mesh | None = None, axis: str = "data",
     frozen trunk of the reference recipe (train.py:184-191) the
     descriptors are constants, so the step runs the affinity head alone —
     ~100x fewer FLOPs than the reference's recompute-both-trunks step.
-    Incompatible with bn_train (the trunk never runs)."""
+    Incompatible with bn_train (the trunk never runs).
+
+    frozen_trunk_fast=True exploits the same frozen-trunk recipe without a
+    feature cache: only the NON-trunk params (shared_conv + affinity) are
+    differentiated, the backbone/neck forward becomes a constant subgraph
+    (no VJP is ever built through it), and the trunk may therefore run the
+    inference-only Pallas sparse kernels (ops/sparse.py documents that no
+    VJP exists for that path). Frozen params receive zero grads, matching
+    the optax.multi_transform('frozen' -> set_to_zero) labeling.
+    Incompatible with bn_train (a frozen trunk runs eval-mode BN,
+    train.py:184-191) and pointless with cached."""
     assert not (cached and bn_train), "cached training never runs the trunk"
+    assert not (frozen_trunk_fast and bn_train), (
+        "frozen_trunk_fast keeps the trunk constant; BN must run in eval mode"
+    )
 
     def _forward(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -153,9 +170,23 @@ def make_train_step(model, tx, mesh: Mesh | None = None, axis: str = "data",
         return loss, new_stats
 
     def local_step(state: TrainState, batch):
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch
-        )
+        if frozen_trunk_fast:
+            frozen = {k: v for k, v in state.params.items()
+                      if k in FROZEN_TRUNK_KEYS}
+            trainable = {k: v for k, v in state.params.items()
+                         if k not in FROZEN_TRUNK_KEYS}
+
+            def train_loss(tp, batch_stats, batch):
+                return loss_fn({**frozen, **tp}, batch_stats, batch)
+
+            (loss, new_stats), g = jax.value_and_grad(
+                train_loss, has_aux=True
+            )(trainable, state.batch_stats, batch)
+            grads = {**jax.tree.map(jnp.zeros_like, frozen), **g}
+        else:
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch)
         if mesh is not None:
             grads = jax.lax.pmean(grads, axis)
             loss = jax.lax.pmean(loss, axis)

@@ -36,14 +36,21 @@ def parse_args():
     p.add_argument("--cached_features", default=None,
                    help="dir of precomputed BEV descriptors (tools/cache_features.py);"
                         " trains the affinity head alone (~100x fewer FLOPs/step)")
+    p.add_argument("--pallas_trunk", action="store_true",
+                   help="frozen-trunk fast path: differentiate only "
+                        "shared_conv+affinity so the (frozen) trunk runs the "
+                        "inference Pallas kernels inside the train step; "
+                        "requires freeze_bev")
     return p.parse_args()
 
 
-def build_model(cfg):
+def build_model(cfg, use_pallas: bool = False):
     from shasta_tpu.models import ShastaModel, ShastaConfig
 
     m = dict(cfg.model)
     m.pop("type", None)
+    if use_pallas:
+        m["use_pallas_gather"] = True
     mc = ShastaConfig(
         **{k: tuple(v) if isinstance(v, list) else v for k, v in m.items()}
     )
@@ -80,7 +87,7 @@ def main():
     epochs = args.epochs or cfg.total_epochs
     seed = args.seed if args.seed is not None else cfg.get("seed", 0)
 
-    model, mc = build_model(cfg)
+    model, mc = build_model(cfg, use_pallas=args.pallas_trunk)
     n_dev = jax.device_count()
     mesh = make_mesh()
     print(f"devices: {n_dev} ({jax.devices()[0].platform}), work_dir: {work_dir}")
@@ -164,8 +171,11 @@ def main():
         grad_clip_norm=cfg.get("grad_clip"),
     )
     state = create_train_state(model, variables, tx)
+    if args.pallas_trunk and not cfg.freeze_bev:
+        raise SystemExit("--pallas_trunk requires freeze_bev in the config")
     step_fn = make_train_step(
-        model, tx, mesh=mesh, cached=args.cached_features is not None
+        model, tx, mesh=mesh, cached=args.cached_features is not None,
+        frozen_trunk_fast=args.pallas_trunk and args.cached_features is None,
     )
 
     # ---- loop ----

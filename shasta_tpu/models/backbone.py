@@ -109,6 +109,9 @@ class StridedConvBNReLU(nn.Module):
     bn_axis_name: str | None = None
     dtype: object = None
     use_pallas: bool = False
+    # Pallas (tile, window, nwin) — per-stage spans measured by
+    # tools/measure_spans.py; see ops.sparse.strided_conv_apply.
+    knobs: tuple = (256, 512, 2)
 
     @nn.compact
     def __call__(self, st, train: bool = False, table=None):
@@ -126,7 +129,8 @@ class StridedConvBNReLU(nn.Module):
         )
         out = sp.strided_conv_apply(st, plan, w, None, compute_dtype=self.dtype,
                                     use_pallas=self.use_pallas,
-                                    lanes=lanes)  # bias=False (scn.py:126)
+                                    lanes=lanes,
+                                    knobs=self.knobs)  # bias=False (scn.py:126)
         f = SparseBN(axis_name=self.bn_axis_name, name="bn")(out.feats, out.valid, train)
         return out._replace(feats=nn.relu(f))
 
@@ -177,21 +181,22 @@ class SparseBackbone(nn.Module):
                 (27, self.num_input_features, 16),
             )
             x = sp.subm_conv_apply(st, idx0, w, None, compute_dtype=self.dtype,
-                                   use_pallas=self.use_pallas)  # bias=False (scn.py:114)
+                                   use_pallas=self.use_pallas,
+                                   lanes=lanes)  # bias=False (scn.py:114)
             f = SparseBN(axis_name=self.bn_axis_name, name="conv_input_bn")(x.feats, x.valid, train)
             x = x._replace(feats=nn.relu(f))
             x = SparseBasicBlock(16, **bn, name="res0a")(x, idx0, train)
             x = SparseBasicBlock(16, **bn, name="res0b")(x, idx0, train)
 
         with jax.named_scope("bb_stage1"):
-            x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, name="down1")(x, train, table=t0)
+            x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, knobs=(256, 512, 2), name="down1")(x, train, table=t0)
             t1 = sp.key_table_presorted(x)
             idx1 = sp.build_subm_index(x, table=t1, use_pallas=self.use_pallas, lanes=lanes)
             x = SparseBasicBlock(32, **bn, name="res1a")(x, idx1, train)
             x = SparseBasicBlock(32, **bn, name="res1b")(x, idx1, train)
 
         with jax.named_scope("bb_stage2"):
-            x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, name="down2")(x, train, table=t1)
+            x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, knobs=(256, 384, 1), name="down2")(x, train, table=t1)
             t2 = sp.key_table_presorted(x)
             idx2 = sp.build_subm_index(x, table=t2, use_pallas=self.use_pallas, lanes=lanes)
             x = SparseBasicBlock(64, **bn, name="res2a")(x, idx2, train)
@@ -199,7 +204,7 @@ class SparseBackbone(nn.Module):
 
         with jax.named_scope("bb_stage3"):
             # conv4 (z unpadded: padding (0,1,1), scn.py:146)
-            x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, name="down3")(x, train, table=t2)
+            x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, knobs=(256, 512, 1), name="down3")(x, train, table=t2)
             t3 = sp.key_table_presorted(x)
             idx3 = sp.build_subm_index(x, table=t3, use_pallas=self.use_pallas, lanes=lanes)
             x = SparseBasicBlock(128, **bn, name="res3a")(x, idx3, train)
@@ -207,7 +212,7 @@ class SparseBackbone(nn.Module):
 
         with jax.named_scope("bb_extra"):
             # extra_conv: (3,1,1) stride (2,1,1) pad 0 (scn.py:155-161)
-            x = StridedConvBNReLU(128, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.cap_extra, **bn, name="extra")(x, train, table=t3)
+            x = StridedConvBNReLU(128, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.cap_extra, **bn, knobs=(256, 384, 1), name="extra")(x, train, table=t3)
 
         dense = sp.to_dense(x)  # (B, D, H, W, C)
         B, D, H, W, C = dense.shape

@@ -41,6 +41,16 @@ from jax.experimental.pallas import tpu as pltpu
 SENTINEL = jnp.iinfo(jnp.int32).max
 TILE = 128  # output rows per grid step
 W_CONV = 256  # feature window per tile
+# Submanifold-conv (tile, W) per input-channel count, measured on v5e
+# (tools/probe_conv.py): per-(tile, tap) fixed costs — window slice set-up
+# and matmul pipelining — dominate over the (tile, W) one-hot compare, so
+# LARGE tiles win (tile 256 is ~30-40% faster than 128 at every stage).
+# W is the smallest 128-multiple covering the stage's measured span at
+# that tile plus one band of headroom where the margin was thin
+# (tools/measure_spans.py; spans at tile 256: s0 255, s1 487, s2 298,
+# s3 294). Lane granularity is 128, so sub-128 W steps change nothing.
+SUBM_KNOBS = {16: (256, 384), 32: (256, 640), 64: (256, 384),
+              128: (256, 384)}
 # Largest feature table kept VMEM-resident (in occupied-vreg bytes — a
 # (N, C<128) array burns full 128-lane vregs); bigger tables use the XLA
 # path. The kernels request a 100 MB scoped-vmem budget, verified live on
@@ -458,11 +468,11 @@ def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int,
     BIMODAL positions ~an input-plane apart; a second cluster-aligned
     window covers them where a contiguous extension cannot). Straight-
     line compute — branching/scratch variants measured slower."""
-    K = pos_ref.shape[1]
+    tile, K = pos_ref.shape
     dt = tab_ref.dtype
     Vp = tab_ref.shape[0]
     INT_MAX = jnp.int32(2**31 - 1)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, W), 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, W), 1)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for k in range(K):
         p = pos_ref[:, k]
@@ -508,21 +518,22 @@ def _conv_kernel(pos_ref, tab_ref, w_ref, out_ref, *, W: int, V: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("V", "W", "NWIN", "ALIGN", "interpret"))
+                   static_argnames=("V", "W", "NWIN", "ALIGN", "interpret",
+                                    "tile"))
 def _conv_call(pos, tab_pad, weight, V: int, W: int, NWIN: int, ALIGN: int,
-               interpret: bool):
+               interpret: bool, tile: int = TILE):
     Mp, K = pos.shape
     Co = weight.shape[2]
-    T = Mp // TILE
+    T = Mp // tile
     return pl.pallas_call(
         functools.partial(_conv_kernel, W=W, V=V, NWIN=NWIN, ALIGN=ALIGN),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((TILE, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, Co), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((tile, Co), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Co), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -541,6 +552,7 @@ def windowed_gather_matmul(
     window: int | None = None,
     nwin: int = 1,
     lanes: int = 1,
+    tile: int | None = None,
 ):
     """Drop-in for the XLA im2col gather+matmul (ops.sparse._gathered_matmul).
 
@@ -575,10 +587,15 @@ def windowed_gather_matmul(
                            gb - b * V1, V1)
             parts.append(windowed_gather_matmul(
                 fb, lb, weight, compute_dtype=compute_dtype,
-                interpret=interpret, window=window, nwin=nwin,
+                interpret=interpret, window=window, nwin=nwin, tile=tile,
             ))
         return jnp.concatenate(parts, axis=0)
-    W = window or (W_CONV if C < 32 else 384)
+    if window is None and tile is None and C in SUBM_KNOBS:
+        tile, W = SUBM_KNOBS[C]
+    else:
+        W = window or (W_CONV if C < 32 else 384)
+    if tile is None:
+        tile = TILE
     dt = compute_dtype or feats.dtype
 
     def xla_path(_):
@@ -599,11 +616,11 @@ def windowed_gather_matmul(
     # window bases are tile-aligned (8 rows f32, 16 bf16 — Mosaic needs
     # provable alignment for packed dtypes); the coverage check mirrors it
     align = 8 * 4 // jnp.dtype(dt).itemsize
-    Mp = ((M + TILE - 1) // TILE) * TILE
-    T = Mp // TILE
+    Mp = ((M + tile - 1) // tile) * tile
+    T = Mp // tile
     INT_MAX = jnp.iinfo(jnp.int32).max
     g = jnp.full((Mp, K), V, jnp.int32).at[:M].set(gather)
-    gt = g.reshape(T, TILE, K)
+    gt = g.reshape(T, tile, K)
     ft = gt < V
     lo = jnp.min(jnp.where(ft, gt, INT_MAX), axis=1) & ~(align - 1)  # (T, K)
     in1 = ft & (gt - lo[:, None, :] < W)  # covered by the first window
@@ -620,7 +637,7 @@ def windowed_gather_matmul(
 
     def pallas_path(_):
         return _conv_call(g, tab_pad, w, V=V, W=W, NWIN=nwin, ALIGN=align,
-                          interpret=bool(interpret))[:M]
+                          interpret=bool(interpret), tile=tile)[:M]
 
     if _FLAG_SINK is not None:
         _FLAG_SINK[0].append(ok)

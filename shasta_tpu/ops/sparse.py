@@ -197,7 +197,7 @@ def build_subm_index(
 
 def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool,
                      window: int | None = None, nwin: int = 1,
-                     lanes: int = 1):
+                     lanes: int = 1, tile: int | None = None):
     """im2col core shared by subm/strided convs: (M, K) gather of table
     rows -> one (M, K*C) x (K*C, Co) MXU matmul. use_pallas routes through
     the windowed one-hot Pallas kernel (ops/pallas/window_conv — measured
@@ -212,7 +212,8 @@ def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool,
 
         return windowed_gather_matmul(feats, gather, weight,
                                       compute_dtype=compute_dtype,
-                                      window=window, nwin=nwin, lanes=lanes)
+                                      window=window, nwin=nwin, lanes=lanes,
+                                      tile=tile)
     padded = jnp.concatenate([feats, jnp.zeros((1, C), feats.dtype)], axis=0)
     gathered = padded[gather]  # (M, K, C)
     return jax.lax.dot_general(
@@ -457,14 +458,20 @@ def strided_conv_apply(
     compute_dtype=None,
     use_pallas: bool = False,
     lanes: int = 1,
+    knobs: tuple[int, int, int] = (256, 512, 2),
 ) -> SparseTensor:
-    # Strided-conv tiles that straddle a z-plane boundary see BIMODAL
-    # gather positions ~an input plane apart, with tiny per-cluster spans
-    # (p99 ~32 rows measured): the adaptive second window (nwin=2) covers
-    # the far cluster, so the base window stays small (the coverage check
-    # still guards exactness).
+    # knobs = (tile, window, nwin) for the Pallas kernel. The default
+    # suits the worst case (conv2): tiles that straddle a z-plane boundary
+    # see BIMODAL gather positions ~an input plane apart (span ~2750 rows),
+    # so an adaptive second window (nwin=2) covers the far cluster. The
+    # later strided stages measure UNIMODAL within one window
+    # (tools/measure_spans.py: c3 span 201, c4 398, extra 255 at tile 256)
+    # and pass nwin=1 from the backbone; the coverage check still guards
+    # exactness either way.
+    tile, window, nwin = knobs
     out = _gathered_matmul(st.feats, plan.gather, weight, compute_dtype,
-                           use_pallas, window=256, nwin=2, lanes=lanes)
+                           use_pallas, window=window, nwin=nwin, lanes=lanes,
+                           tile=tile)
     if bias is not None:
         out = out + bias
     out = jnp.where(plan.valid[:, None], out, 0.0)

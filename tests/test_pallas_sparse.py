@@ -51,6 +51,24 @@ def test_windowed_conv_matches_xla(rng):
     np.testing.assert_allclose(out, _xla_ref(feats, g, w), atol=1e-4)
 
 
+def test_windowed_conv_tile_variants_match_xla(rng):
+    """The kernel's output-tile height is a tunable (64 halves the per-tap
+    window span and so the VPU one-hot cost); every tile/window combo must
+    stay exact vs the XLA gather."""
+    V, M, K, C, Co = 2048, 512, 5, 16, 8
+    feats = rng.normal(size=(V, C)).astype(np.float32)
+    w = (rng.normal(size=(K, C, Co)) * 0.2).astype(np.float32)
+    g = _monotone_gather(rng, V, M, K, span=30)
+    ref = _xla_ref(feats, g, w)
+    for tile, window in ((64, 96), (64, 256), (256, 384)):
+        out = np.asarray(windowed_gather_matmul(
+            jnp.asarray(feats), jnp.asarray(g), jnp.asarray(w),
+            tile=tile, window=window,
+        ))
+        np.testing.assert_allclose(out, ref, atol=1e-4,
+                                   err_msg=f"tile={tile} window={window}")
+
+
 def test_windowed_conv_fallback_on_random_indices(rng):
     """Scattered (non-monotone) indices exceed the window span -> the
     wrapper must fall back to the exact XLA path."""

@@ -494,6 +494,14 @@ def extract_points(lasers, laser_calibrations, frame_pose) -> dict:
         xyz.append(points[:, :3].astype(np.float32))
         feat.append(points[:, 3:5].astype(np.float32))
     if not xyz:
+        # every laser decoded to zero points: on real data this means the
+        # RangeImage/Context field numbering is wrong (the exact failure
+        # mode of the round-3 schema transcription bug), not an empty sweep
+        import warnings
+        warnings.warn(
+            "extract_points: all %d lasers decoded to zero points — "
+            "range_image_compressed empty on every return; check the proto "
+            "schema field numbers" % len(list(lasers)), RuntimeWarning)
         return {"points_xyz": np.zeros((0, 3), np.float32),
                 "points_feature": np.zeros((0, 2), np.float32)}
     return {

@@ -21,12 +21,16 @@ public field numbers of the (frozen, proto2) Waymo schemas:
                  detection_difficulty_level=5, tracking_difficulty_level=6,
                  num_lidar_points_in_box=7}
   metrics.proto: Object{object=1, score=2, overlap_with_nlz=3,
-                 frame_timestamp_micros=4, context_name=5};
+                 context_name=4, frame_timestamp_micros=5};
                  Objects{objects=1}
   dataset.proto: Transform{transform=1}; Stats{time_of_day=2, location=3,
-                 weather=4}; Context{name=1, stats=3};
-                 Frame{context=1, timestamp_micros=2, pose=3,
-                 laser_labels=6}
+                 weather=4}; Context{name=1, camera_calibrations=2
+                 (skipped), laser_calibrations=3, stats=4};
+                 Frame{context=1, timestamp_micros=2, pose=3, images=4
+                 (skipped), lasers=5, laser_labels=6};
+                 RangeImage{range_image=1 (deprecated, skipped),
+                 range_image_compressed=2, camera_projection_compressed=3
+                 (skipped), range_image_pose_compressed=4}
 
 Decoded messages are attribute-access objects (PB) with proto-style
 defaults, so code written against the real *_pb2 API runs unchanged on
@@ -70,8 +74,8 @@ SCHEMAS: dict[str, dict[int, tuple]] = {
         1: ("object", "msg:Label"),
         2: ("score", "float"),
         3: ("overlap_with_nlz", "varint"),
-        4: ("frame_timestamp_micros", "varint"),
-        5: ("context_name", "string"),
+        4: ("context_name", "string"),
+        5: ("frame_timestamp_micros", "varint"),
     },
     "Objects": {
         1: ("objects", "msg:Object", "repeated"),
@@ -85,8 +89,10 @@ SCHEMAS: dict[str, dict[int, tuple]] = {
         4: ("weather", "string"),
     },
     "Context": {
+        # field 2 (repeated CameraCalibration) is intentionally undeclared:
+        # the decoder skips unknown fields, and nothing downstream reads it
         1: ("name", "string"),
-        3: ("stats", "msg:Stats"),
+        4: ("stats", "msg:Stats"),
     },
     "Frame": {
         1: ("context", "msg:Context"),
@@ -102,8 +108,10 @@ SCHEMAS: dict[str, dict[int, tuple]] = {
         2: ("shape", "msg:MatrixShape"),
     },
     "RangeImage": {
-        1: ("range_image_compressed", "bytes"),
-        3: ("range_image_pose_compressed", "bytes"),
+        # field 1 is the deprecated uncompressed MatrixFloat range_image;
+        # field 3 is camera_projection_compressed — both skipped as unknown
+        2: ("range_image_compressed", "bytes"),
+        4: ("range_image_pose_compressed", "bytes"),
     },
     "Laser": {
         1: ("name", "varint"),
@@ -118,7 +126,7 @@ SCHEMAS: dict[str, dict[int, tuple]] = {
         5: ("extrinsic", "msg:Transform"),
     },
 }
-SCHEMAS["Context"][2] = ("laser_calibrations", "msg:LaserCalibration", "repeated")
+SCHEMAS["Context"][3] = ("laser_calibrations", "msg:LaserCalibration", "repeated")
 
 # Waymo Label.Type values (label.proto)
 TYPE_UNKNOWN, TYPE_VEHICLE, TYPE_PEDESTRIAN, TYPE_SIGN, TYPE_CYCLIST = range(5)

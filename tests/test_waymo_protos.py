@@ -78,6 +78,14 @@ def test_negative_varint_roundtrip():
     assert dec.objects[0].frame_timestamp_micros == -5
 
 
+# Transcription of the OFFICIAL waymo-open-dataset schemas (label.proto,
+# metrics.proto, dataset.proto @ the frozen v1.x numbering), restricted to
+# the messages this framework touches but including the neighbouring fields
+# the codec intentionally skips (camera_calibrations, images, the deprecated
+# uncompressed range_image, camera_projection_compressed) so a transcription
+# error in shasta_tpu's SCHEMAS shows up as a wire mismatch here rather than
+# round-tripping silently. NOT generated from SCHEMAS — edit only against
+# the official proto files.
 PROTO_SRC = """
 syntax = "proto2";
 package shastatest;
@@ -109,11 +117,69 @@ message Object {
   optional Label object = 1;
   optional float score = 2;
   optional bool overlap_with_nlz = 3;
-  optional int64 frame_timestamp_micros = 4;
-  optional string context_name = 5;
+  optional string context_name = 4;
+  optional int64 frame_timestamp_micros = 5;
 }
 message Objects {
   repeated Object objects = 1;
+}
+message Transform {
+  repeated double transform = 1;
+}
+message MatrixShape {
+  repeated int32 dims = 1;
+}
+message MatrixFloat {
+  repeated float data = 1 [packed = true];
+  optional MatrixShape shape = 2;
+}
+message CameraCalibration {
+  optional int32 name = 1;
+  repeated double intrinsic = 2;
+  optional Transform extrinsic = 3;
+  optional int32 width = 4;
+  optional int32 height = 5;
+}
+message LaserCalibration {
+  optional int32 name = 1;
+  repeated double beam_inclinations = 2;
+  optional double beam_inclination_min = 3;
+  optional double beam_inclination_max = 4;
+  optional Transform extrinsic = 5;
+}
+message Stats {
+  optional string time_of_day = 2;
+  optional string location = 3;
+  optional string weather = 4;
+}
+message Context {
+  optional string name = 1;
+  repeated CameraCalibration camera_calibrations = 2;
+  repeated LaserCalibration laser_calibrations = 3;
+  optional Stats stats = 4;
+}
+message RangeImage {
+  optional MatrixFloat range_image = 1 [deprecated = true];
+  optional bytes range_image_compressed = 2;
+  optional bytes camera_projection_compressed = 3;
+  optional bytes range_image_pose_compressed = 4;
+}
+message Laser {
+  optional int32 name = 1;
+  optional RangeImage ri_return1 = 2;
+  optional RangeImage ri_return2 = 3;
+}
+message CameraImage {
+  optional int32 name = 1;
+  optional bytes image = 2;
+}
+message Frame {
+  optional Context context = 1;
+  optional int64 timestamp_micros = 2;
+  optional Transform pose = 3;
+  repeated CameraImage images = 4;
+  repeated Laser lasers = 5;
+  repeated Label laser_labels = 6;
 }
 """
 
@@ -166,5 +232,94 @@ def test_wire_format_matches_real_protobuf(tmp_path):
         b = back.objects[0]
         assert b.object.box.center_y == -2.0
         assert abs(b.score - 0.5) < 1e-7
+    finally:
+        sys.path.remove(str(tmp_path))
+
+
+def test_frame_wire_format_matches_real_protobuf(tmp_path):
+    """Frame/Context/Laser/RangeImage cross-check against protoc, with the
+    officially-numbered fields the codec skips (camera_calibrations, images,
+    deprecated range_image, camera_projection_compressed) POPULATED — this
+    is the test that catches the round-3 field-number transcription bugs
+    (laser_calibrations read from field 2, range_image_compressed from
+    field 1), which pure codec round-trips cannot see."""
+    proto = tmp_path / "shastatest.proto"
+    proto.write_text(PROTO_SRC)
+    r = subprocess.run(
+        ["protoc", f"--python_out={tmp_path}", f"--proto_path={tmp_path}",
+         str(proto)],
+        capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"protoc failed: {r.stderr[:200]}")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        try:
+            import shastatest_pb2  # noqa: F401
+        except Exception as e:  # gencode/runtime version mismatch
+            pytest.skip(f"generated proto unusable: {e}")
+        pb = shastatest_pb2
+
+        fr = pb.Frame()
+        fr.context.name = "segment-77"
+        cam = fr.context.camera_calibrations.add()
+        cam.name = 1
+        cam.intrinsic.extend([2000.0, 2000.0, 960.0, 640.0])
+        cam.width = 1920
+        las = fr.context.laser_calibrations.add()
+        las.name = 1
+        las.beam_inclinations.extend([-0.3, -0.1, 0.05])
+        las.beam_inclination_min = -0.3
+        las.beam_inclination_max = 0.05
+        las.extrinsic.transform.extend(list(range(16)))
+        fr.context.stats.location = "location_phx"
+        fr.context.stats.time_of_day = "Night"
+        fr.timestamp_micros = 1550083467346370
+        fr.pose.transform.extend([float(i) for i in range(16)])
+        img = fr.images.add()
+        img.name = 1
+        img.image = b"\xff\xd8jpegjunk"
+        laser = fr.lasers.add()
+        laser.name = 1
+        laser.ri_return1.range_image.data.extend([1.5, 2.5])  # deprecated f1
+        laser.ri_return1.range_image_compressed = b"ZLIB-RI"
+        laser.ri_return1.camera_projection_compressed = b"ZLIB-CP"
+        laser.ri_return1.range_image_pose_compressed = b"ZLIB-POSE"
+        lab = fr.laser_labels.add()
+        lab.box.center_x = 3.25
+        lab.box.length = 4.5
+        lab.type = 1
+        lab.id = "gt-9"
+
+        dec = wp.parse_frame(fr.SerializeToString())
+        assert dec.context.name == "segment-77"
+        cal = dec.context.laser_calibrations[0]
+        assert cal.name == 1
+        assert cal.beam_inclinations == [-0.3, -0.1, 0.05]
+        assert cal.beam_inclination_min == -0.3
+        assert cal.extrinsic.transform == [float(i) for i in range(16)]
+        assert dec.context.stats.location == "location_phx"
+        assert dec.context.stats.time_of_day == "Night"
+        assert dec.timestamp_micros == 1550083467346370
+        ri = dec.lasers[0].ri_return1
+        assert ri.range_image_compressed == b"ZLIB-RI"
+        assert ri.range_image_pose_compressed == b"ZLIB-POSE"
+        assert dec.laser_labels[0].box.center_x == 3.25
+        assert dec.laser_labels[0].id == "gt-9"
+
+        # and protobuf must parse what the codec encodes for Frame
+        mine = wp.encode_frame({
+            "context": {"name": "c2",
+                        "laser_calibrations": [
+                            {"name": 1, "beam_inclination_min": -0.2}]},
+            "timestamp_micros": 7,
+            "lasers": [{"name": 1,
+                        "ri_return1": {"range_image_compressed": b"RI2"}}],
+        })
+        theirs = pb.Frame()
+        theirs.ParseFromString(mine)
+        assert theirs.context.name == "c2"
+        assert theirs.context.laser_calibrations[0].beam_inclination_min == -0.2
+        assert theirs.lasers[0].ri_return1.range_image_compressed == b"RI2"
     finally:
         sys.path.remove(str(tmp_path))

@@ -370,9 +370,16 @@ def build_strided_plan(
         # Per-lane slot budgets truncate each frame independently; WHICH
         # voxels survive then differs from the global front-packed layout
         # the XLA path uses. Surface binding caps through the coverage-flag
-        # sink so callers replay via the safe path (whose global truncation
-        # is the documented semantics) instead of silently diverging.
-        report_coverage_flag(jnp.all(ends - bases <= cap_lane))
+        # sink as a SOFT (documented-divergence) flag — the per-lane result
+        # is a correct Pallas computation under the per-lane semantics, it
+        # just differs from the global-layout safe path, exactly like the
+        # truncation the B=1 path performs silently. Serving replays scenes
+        # via coverage_ok_strict for bit-consistency with the XLA path;
+        # benchmarks (equal cost either way) gate on the hard flags alone.
+        # (Round-3 bug: this was reported as a hard flag, which made the
+        # lanes-4 bench fall back to B=1 whenever the cap bound — i.e. on
+        # every dense frame — despite B=1 binding the same cap unflagged.)
+        report_coverage_flag(jnp.all(ends - bases <= cap_lane), soft=True)
         slot_lane = (jnp.arange(max_out, dtype=jnp.int32) // cap_lane)
         if compact_ok:
             # per-lane slot queries: lane b's j-th unique is global unique

@@ -411,6 +411,30 @@ def test_coverage_flag_sink(rng):
     assert bool(fl2.flags[1]) is False
 
 
+def test_binding_lane_cap_is_soft_flag(rng):
+    """A BINDING per-lane slot budget (lane uniques > max_out//B) is a
+    documented-divergence signal, not a kernel-correctness failure: it must
+    land in soft_flags (strict trips) and leave the hard flags ok — B=1
+    truncates the same way silently, and benchmarks gate on hard flags only.
+    Regression for the round-3 lanes-4 bench fallback (ops/sparse.py)."""
+    from shasta_tpu.ops.pallas.window_conv import collect_coverage_flags
+
+    st = _make_frame_major(rng, per_lane_n=(30, 30), per_lane_cap=32)
+    # stride-2 of ~30 voxels in a 6x10x10 grid -> far more than 8 uniques
+    # per lane; max_out=16 gives cap_lane=8, so both lanes bind
+    with collect_coverage_flags() as fl:
+        plan = sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                     max_out=16, use_pallas=True, lanes=2)
+    assert bool(fl.all_ok()), "binding lane cap must not trip a hard flag"
+    assert not bool(fl.all_ok_strict()), "binding lane cap must trip strict"
+    # and a NON-binding cap trips neither
+    with collect_coverage_flags() as fl2:
+        sp.build_strided_plan(st, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                              max_out=160, use_pallas=True, lanes=2)
+    assert bool(fl2.all_ok()) and bool(fl2.all_ok_strict())
+    assert np.asarray(plan.valid).sum() == 16  # every slot filled per lane
+
+
 def test_windowed_lookup_fallback_on_unsorted(rng):
     """Unsorted query columns overflow the cursor window -> exact XLA
     fallback."""

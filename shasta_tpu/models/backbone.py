@@ -119,6 +119,10 @@ class StridedConvBNReLU(nn.Module):
         plan = sp.build_strided_plan(
             st, self.kernel, self.stride, self.padding, self.max_out,
             table=table, use_pallas=self.use_pallas, lanes=lanes,
+            # B=1 Pallas routes through the fused lookup-conv kernel
+            # (no separate gather lookup — ops/pallas/window_conv.py)
+            fused=(self.use_pallas and st.batch_size == 1),
+            knobs=self.knobs,
         )
         K = int(self.kernel[0] * self.kernel[1] * self.kernel[2])
         C = st.feats.shape[-1]
@@ -173,8 +177,13 @@ class SparseBackbone(nn.Module):
             else:
                 t0 = sp.key_table(st)
             lanes = st.batch_size if self.use_pallas else 1
-            idx0 = sp.build_subm_index(st, table=t0, use_pallas=self.use_pallas,
-                                       lanes=lanes)
+            # B=1 Pallas: fused lookup-conv — the index is query keys +
+            # window bases, no lookup kernel runs (window_conv.py)
+            fused = self.use_pallas and st.batch_size == 1
+            idx0 = (sp.build_subm_index_fused(st, t0) if fused else
+                    sp.build_subm_index(st, table=t0,
+                                        use_pallas=self.use_pallas,
+                                        lanes=lanes))
             w = self.param(
                 "conv_input_kernel",
                 nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
@@ -191,14 +200,20 @@ class SparseBackbone(nn.Module):
         with jax.named_scope("bb_stage1"):
             x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, knobs=(256, 512, 2), name="down1")(x, train, table=t0)
             t1 = sp.key_table_presorted(x)
-            idx1 = sp.build_subm_index(x, table=t1, use_pallas=self.use_pallas, lanes=lanes)
+            idx1 = (sp.build_subm_index_fused(x, t1) if fused else
+                      sp.build_subm_index(x, table=t1,
+                                          use_pallas=self.use_pallas,
+                                          lanes=lanes))
             x = SparseBasicBlock(32, **bn, name="res1a")(x, idx1, train)
             x = SparseBasicBlock(32, **bn, name="res1b")(x, idx1, train)
 
         with jax.named_scope("bb_stage2"):
             x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, knobs=(256, 384, 1), name="down2")(x, train, table=t1)
             t2 = sp.key_table_presorted(x)
-            idx2 = sp.build_subm_index(x, table=t2, use_pallas=self.use_pallas, lanes=lanes)
+            idx2 = (sp.build_subm_index_fused(x, t2) if fused else
+                      sp.build_subm_index(x, table=t2,
+                                          use_pallas=self.use_pallas,
+                                          lanes=lanes))
             x = SparseBasicBlock(64, **bn, name="res2a")(x, idx2, train)
             x = SparseBasicBlock(64, **bn, name="res2b")(x, idx2, train)
 
@@ -206,7 +221,10 @@ class SparseBackbone(nn.Module):
             # conv4 (z unpadded: padding (0,1,1), scn.py:146)
             x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, knobs=(256, 512, 1), name="down3")(x, train, table=t2)
             t3 = sp.key_table_presorted(x)
-            idx3 = sp.build_subm_index(x, table=t3, use_pallas=self.use_pallas, lanes=lanes)
+            idx3 = (sp.build_subm_index_fused(x, t3) if fused else
+                      sp.build_subm_index(x, table=t3,
+                                          use_pallas=self.use_pallas,
+                                          lanes=lanes))
             x = SparseBasicBlock(128, **bn, name="res3a")(x, idx3, train)
             x = SparseBasicBlock(128, **bn, name="res3b")(x, idx3, train)
 

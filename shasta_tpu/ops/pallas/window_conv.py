@@ -32,6 +32,7 @@ either triggers a lax.cond fallback to the exact XLA path.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -643,3 +644,250 @@ def windowed_gather_matmul(
         _FLAG_SINK[0].append(ok)
         return pallas_path(None)
     return jax.lax.cond(ok, pallas_path, xla_path, None)
+
+
+# --------------------------------------------------------------------------
+# fused lookup-conv: key-compare one-hot extraction (no separate index)
+# --------------------------------------------------------------------------
+#
+# The round-4 itemized profile (tools/prof_trunk.py) put the windowed
+# LOOKUPS (index builds + strided-plan gathers) at ~26 ms of the 67 ms
+# trunk — yet the conv kernel already rebuilds a (tile, W) one-hot from
+# the looked-up positions for every conv. Building that one-hot from a
+# KEY COMPARE instead (win_keys == query_key) costs the same vector work
+# and makes the positions unnecessary: the whole lookup stage collapses
+# into a cheap XLA precompute (per-(tile, tap-group) window rows from a
+# coarse searchsorted over the table's per-row guard keys + a value-based
+# coverage check). Misses contribute a zero row exactly like the conv's
+# loc=W convention. Two kernel-probed designs that tried to speed up the
+# standalone lookup first (straight-line dual-window: 14.2 vs 11.3 ms at
+# stage 0; MXU-dot extraction at Precision.HIGHEST: 21.4 ms) both LOST to
+# the hop kernel — fusing is the move that wins, not a faster lookup.
+#
+# Contract: the feature rows must be PHYSICALLY key-sorted (true for the
+# host-sorted stage-0 input and every strided-compaction output); an O(V)
+# monotonicity check folds into the coverage flag, so an unsorted table
+# replays through the exact XLA path like any other coverage miss.
+
+
+class FusedIndex(NamedTuple):
+    """Precomputed per-stage state for fused lookup-convs (built once per
+    position set, shared by every conv over it — the spconv indice_key
+    analogue). All leaves are arrays (clean pytree); static geometry
+    (tile, W, nwin, tap grouping) is re-derived from shapes + the knobs
+    the caller passes to both build and apply."""
+
+    queries: jnp.ndarray  # (Mp, K) int32 linear input keys; -2 = no neighbor
+    bases: jnp.ndarray  # (T, NWIN*G) int32 window rows (TILE units)
+    keys_wide: jnp.ndarray  # (R, W) int32 aligned key windows
+    ok: jnp.ndarray  # scalar bool: sorted table AND every query covered
+
+
+def _fused_conv_kernel(q_ref, base_ref, keys_ref, tab_ref, w_ref, out_ref, *,
+                       NWIN: int, D: int, ALIGN: int):
+    """grid (T,). q_ref (tile, K) int32 query keys (-2 = miss); base_ref
+    (T, NWIN*G) SMEM window rows in TILE units — row r covers flat table
+    positions [TILE r, TILE r + W) in ALIGNED layout (no guard shift, so
+    the feature slice at TILE r is alignment-provable); keys_ref (R, W)
+    widened key windows; tab_ref (FL, C) features in the same flat
+    layout; w_ref (K, C, Co).
+
+    Per tap group g (D=3 when the dx taps are unit-spaced in key — one
+    window serves all three): slice the key window + feature window once,
+    build a first-occurrence one-hot per tap from the key compare, and
+    extract + accumulate rows on the MXU exactly like _conv_kernel. The
+    second window (NWIN=2, bimodal strided tiles) is value-exclusive:
+    only queries beyond window 1's last key use it."""
+    tile, K = q_ref.shape
+    G = K // D
+    W = keys_ref.shape[1]
+    dt = tab_ref.dtype
+    t = pl.program_id(0)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g in range(G):
+        rows = [None] * D
+        end1 = None
+        for w in range(NWIN):
+            r = base_ref[t, NWIN * g + w]
+            kwin = keys_ref[pl.ds(r, 1), :]  # (1, W)
+            fbase = pl.multiple_of(r * TILE, ALIGN)
+            fwin = tab_ref[pl.ds(fbase, W), :]  # (W, C)
+            # first occurrence of duplicate keys wins (searchsorted
+            # side='left'); the wrap at lane 0 compares against lane W-1
+            # whose key is >= — never equal for a covered query
+            dup = kwin == pltpu.roll(kwin, 1, axis=1)
+            first = ~dup | (lane1 == 0)
+            end = kwin[0, W - 1]
+            for j in range(D):
+                q = q_ref[:, D * g + j]
+                oh = (kwin == q[:, None]) & first
+                if w == 1:
+                    oh = oh & (q > end1)[:, None]
+                rj = jax.lax.dot_general(
+                    oh.astype(dt), fwin, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                rows[j] = rj if w == 0 else rows[j] + rj
+            end1 = end
+        for j in range(D):
+            acc = acc + jax.lax.dot_general(
+                rows[j].astype(dt), w_ref[D * g + j],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("NWIN", "D", "ALIGN", "interpret",
+                                    "tile"))
+def _fused_conv_call(q, bases, keys_wide, tab_pad, weight, NWIN: int, D: int,
+                     ALIGN: int, interpret: bool, tile: int):
+    Mp, K = q.shape
+    Co = weight.shape[2]
+    T = Mp // tile
+    return pl.pallas_call(
+        functools.partial(_fused_conv_kernel, NWIN=NWIN, D=D, ALIGN=ALIGN),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((tile, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, Co), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Co), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q, bases, keys_wide, tab_pad, weight)
+
+
+def build_fused_index(sorted_keys, queries, *, tile: int, window: int,
+                      nwin: int = 1, triple: bool = True) -> FusedIndex:
+    """Precompute the fused-conv state for one position set.
+
+    sorted_keys (V,) ascending linear keys with SENTINEL tail (rows must
+    be physically in this order — checked into `ok`); queries (M, K)
+    int32 with SENTINEL where a tap has no neighbor; K in (dz, dy, dx)
+    raster order with unit-spaced dx when triple (kx == 3)."""
+    V = sorted_keys.shape[0]
+    M, K = queries.shape
+    W = window
+    D = 3 if triple else 1
+    G = K // D
+    Mp = ((M + tile - 1) // tile) * tile
+    T = Mp // tile
+    R = (V + TILE - 1) // TILE + 1
+    FL = (R - 1) * TILE + W
+
+    qpad = jnp.full((Mp, K), SENTINEL, jnp.int32).at[:M].set(
+        queries.astype(jnp.int32))
+    keys_flat = jnp.full((FL,), SENTINEL, jnp.int32).at[:V].set(
+        sorted_keys.astype(jnp.int32))
+    keys_wide = jnp.concatenate(
+        [keys_flat[i * TILE: i * TILE + R * TILE].reshape(R, TILE)
+         for i in range(W // TILE)], axis=1)
+
+    # guards[r] = key just before window r (-inf for r=0); ends[r] = its
+    # last key. rowof(x) = largest r with guards[r] < x.
+    guards = jnp.concatenate([
+        jnp.full((1,), jnp.iinfo(jnp.int32).min, jnp.int32),
+        keys_flat[TILE - 1: (R - 1) * TILE: TILE],
+    ])
+    ends = keys_flat[W - 1: FL: TILE]  # (R,)
+
+    qt = qpad.reshape(T, tile, G, D)
+    real = qt != SENTINEL
+    qlo = jnp.min(jnp.where(real, qt, SENTINEL), axis=(1, 3))  # (T, G)
+    qhi = jnp.max(jnp.where(real, qt, jnp.iinfo(jnp.int32).min), axis=(1, 3))
+    anchors = (jnp.stack([qlo, qhi], axis=-1).reshape(T, 2 * G) if nwin == 2
+               else qlo)
+    rows = jnp.searchsorted(guards, anchors.reshape(-1), side="left",
+                            method="sort").astype(jnp.int32) - 1
+    bases = jnp.clip(rows, 0, R - 1).reshape(T, nwin * G)
+
+    # value-based coverage: every real query must fall in (guard, end] of
+    # one of its group's windows; plus the physical-sort contract
+    b1 = bases.reshape(T, G, nwin)[:, :, 0]
+    g1 = guards[b1][:, None, :, None]
+    e1 = ends[b1][:, None, :, None]
+    cov = (qt > g1) & (qt <= e1)
+    if nwin == 2:
+        b2 = bases.reshape(T, G, nwin)[:, :, 1]
+        g2 = guards[b2][:, None, :, None]
+        e2 = ends[b2][:, None, :, None]
+        cov = cov | ((qt > g2) & (qt <= e2))
+    ok = jnp.all(cov | ~real) & jnp.all(sorted_keys[1:] >= sorted_keys[:-1])
+    qmask = jnp.where(qpad == SENTINEL, -2, qpad)
+    return FusedIndex(queries=qmask, bases=bases, keys_wide=keys_wide, ok=ok)
+
+
+def fused_conv_apply(feats, findex: FusedIndex, weight, *,
+                     compute_dtype=None, nwin: int = 1, triple: bool = True,
+                     interpret: bool | None = None, m_out: int | None = None):
+    """Apply one conv through the fused lookup-conv kernel.
+
+    feats (V, C) PHYSICALLY key-sorted rows matching findex.keys_wide;
+    weight (K, C, Co). Returns (M, Co) f32 (M = m_out or the padded Mp).
+    Exactness contract identical to windowed_gather_matmul: under a
+    collect_coverage_flags sink the kernel runs unconditionally and
+    findex.ok joins the hard flags; otherwise a lax.cond falls back to
+    the searchsorted+gather XLA path."""
+    if interpret is None:
+        interpret = _interpret_default()
+    V, C = feats.shape
+    Mp, K = findex.queries.shape
+    M = m_out if m_out is not None else Mp
+    Co = weight.shape[2]
+    D = 3 if triple else 1
+    W = findex.keys_wide.shape[1]
+    R = findex.keys_wide.shape[0]
+    FL = (R - 1) * TILE + W
+    tile = Mp // findex.bases.shape[0]
+    dt = compute_dtype or feats.dtype
+    align = 8 * 4 // jnp.dtype(dt).itemsize
+
+    def xla_path(_):
+        # exact fallback for ANY physical row order (the flag fires
+        # precisely when rows are unsorted or a window under-covers):
+        # argsort the physical keys (runs only on this cond branch),
+        # searchsorted, then map back through the permutation
+        keys = findex.keys_wide[:, :TILE].reshape(-1)[:V]
+        order = jnp.argsort(keys)
+        skeys = keys[order]
+        q = findex.queries[:M]
+        pos = jnp.searchsorted(skeys, q.reshape(-1), side="left",
+                               method="sort")
+        pos = jnp.clip(pos, 0, V - 1)
+        found = (skeys[pos] == q.reshape(-1)) & (q.reshape(-1) >= 0)
+        g = jnp.where(found, order[pos], V).reshape(M, K)
+        padded = jnp.concatenate([feats, jnp.zeros((1, C), feats.dtype)], 0)
+        return jax.lax.dot_general(
+            padded[g].reshape(M, K * C).astype(dt),
+            weight.reshape(K * C, Co).astype(dt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    itemsize = jnp.dtype(dt).itemsize
+    if FL * C * itemsize * (128 // min(C, 128)) > VMEM_TABLE_BYTES:
+        return xla_path(None)
+
+    tab_pad = jnp.zeros((FL, C), dt).at[:V].set(feats.astype(dt))
+    w = weight.astype(dt)
+
+    def pallas_path(_):
+        return _fused_conv_call(findex.queries, findex.bases,
+                                findex.keys_wide, tab_pad, w, NWIN=nwin,
+                                D=D, ALIGN=align, interpret=bool(interpret),
+                                tile=tile)[:M]
+
+    if _FLAG_SINK is not None:
+        _FLAG_SINK[0].append(findex.ok)
+        return pallas_path(None)
+    return jax.lax.cond(findex.ok, pallas_path, xla_path, None)

@@ -224,9 +224,51 @@ def _gathered_matmul(feats, gather, weight, compute_dtype, use_pallas: bool,
     )
 
 
+def build_subm_index_fused(
+    st: SparseTensor,
+    table: KeyTable,
+    kernel: Sequence[int] = (3, 3, 3),
+):
+    """Fused-path replacement for build_subm_index: no lookup runs here —
+    it returns the per-stage FusedIndex (query keys, window bases,
+    coverage flag) that subm_conv_apply feeds to the fused lookup-conv
+    kernel (ops/pallas/window_conv.py). Built once per position set and
+    shared by the stage's convs, like spconv's indice_key caching.
+    Requires physically key-sorted rows (checked into the coverage flag).
+    """
+    from .pallas.window_conv import SUBM_KNOBS, build_fused_index
+
+    kz, ky, kx = kernel
+    assert kx == 3, "fused subm path assumes unit-spaced dx taps"
+    pz, py, px = kz // 2, ky // 2, kx // 2
+    Z, Y, X = st.shape
+    offsets = np.stack(
+        np.meshgrid(
+            np.arange(kz) - pz, np.arange(ky) - py, np.arange(kx) - px,
+            indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    b = st.coords[:, 0]
+    zyx = st.coords[:, 1:4]
+    n = zyx[:, None, :] + jnp.asarray(offsets, jnp.int32)[None, :, :]
+    dims = jnp.asarray([Z, Y, X], jnp.int32)
+    in_range = jnp.all((n >= 0) & (n < dims), axis=-1) & st.valid[:, None]
+    cell = (n[..., 0] * Y + n[..., 1]) * X + n[..., 2]
+    key = b[:, None] * (Z * Y * X + 1) + cell
+    qk = jnp.where(in_range, key, SENTINEL)
+    tile, W = SUBM_KNOBS.get(st.feats.shape[1], (256, 384))
+    # PHYSICAL row keys, not table.sorted_keys: the fused kernel slices
+    # feature rows by table position, so the monotone check inside
+    # build_fused_index must validate the physical row order itself
+    # (a permuted-but-sorted KeyTable would pass otherwise)
+    phys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+    return build_fused_index(phys, qk, tile=tile, window=W,
+                             nwin=1, triple=True)
+
+
 def subm_conv_apply(
     st: SparseTensor,
-    index: NeighborIndex,
+    index,  # NeighborIndex | window_conv.FusedIndex
     weight: jnp.ndarray,  # (K, C_in, C_out)
     bias: jnp.ndarray | None = None,
     compute_dtype=None,
@@ -237,9 +279,18 @@ def subm_conv_apply(
 
     compute_dtype=jnp.bfloat16 runs the im2col matmul on the MXU in bf16
     with f32 accumulation (the free TPU win; SURVEY §2.8 mixed precision).
+    A FusedIndex routes through the fused lookup-conv kernel instead of
+    gather indices (see build_subm_index_fused).
     """
-    out = _gathered_matmul(st.feats, index.gather, weight, compute_dtype,
-                           use_pallas, lanes=lanes)
+    from .pallas.window_conv import FusedIndex, fused_conv_apply
+
+    if isinstance(index, FusedIndex):
+        out = fused_conv_apply(st.feats, index, weight,
+                               compute_dtype=compute_dtype, nwin=1,
+                               triple=True, m_out=st.capacity)
+    else:
+        out = _gathered_matmul(st.feats, index.gather, weight, compute_dtype,
+                               use_pallas, lanes=lanes)
     if bias is not None:
         out = out + bias
     out = jnp.where(st.valid[:, None], out, 0.0)
@@ -264,6 +315,8 @@ def build_strided_plan(
     table: KeyTable | None = None,
     use_pallas: bool = False,
     lanes: int = 1,
+    fused: bool = False,
+    knobs: tuple[int, int, int] = (256, 512, 2),
 ) -> StridedPlan:
     """Exact spconv output set for SparseConv3d (scn.py conv2/3/4/extra).
 
@@ -443,6 +496,21 @@ def build_strided_plan(
     cell_in = (ic[..., 0] * Y + ic[..., 1]) * X + ic[..., 2]
     qk = out_coords[:, :1] * (Z * Y * X + 1) + cell_in
     qk = jnp.where(in_range, qk, SENTINEL)
+    if fused and use_pallas and lane_slots == 1:
+        # fused lookup-conv: skip the gather lookup entirely — the plan
+        # carries a FusedIndex (query keys + window bases) and
+        # strided_conv_apply resolves matches inside the conv kernel
+        # (ops/pallas/window_conv.py). knobs = (tile, window, nwin) must
+        # match the strided_conv_apply call.
+        from .pallas.window_conv import build_fused_index
+
+        tile_k, W_k, nwin_k = knobs
+        # physical input-row keys (see build_subm_index_fused): validates
+        # that st's rows really are in key order, not just the KeyTable
+        phys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+        findex = build_fused_index(phys, qk, tile=tile_k, window=W_k,
+                                   nwin=nwin_k, triple=(kx == 3))
+        return StridedPlan(out_coords, out_valid, findex, out_shape)
     if use_pallas and kx == 3:
         # kx taps differ by exactly 1 in linear input key (see
         # build_subm_index): 9 center lookups resolve all 27
@@ -475,10 +543,19 @@ def strided_conv_apply(
     # (tools/measure_spans.py: c3 span 201, c4 398, extra 255 at tile 256)
     # and pass nwin=1 from the backbone; the coverage check still guards
     # exactness either way.
+    from .pallas.window_conv import FusedIndex, fused_conv_apply
+
     tile, window, nwin = knobs
-    out = _gathered_matmul(st.feats, plan.gather, weight, compute_dtype,
-                           use_pallas, window=window, nwin=nwin, lanes=lanes,
-                           tile=tile)
+    if isinstance(plan.gather, FusedIndex):
+        K = plan.gather.queries.shape[1]
+        G = plan.gather.bases.shape[1] // nwin
+        out = fused_conv_apply(
+            st.feats, plan.gather, weight, compute_dtype=compute_dtype,
+            nwin=nwin, triple=(K == 3 * G), m_out=plan.valid.shape[0])
+    else:
+        out = _gathered_matmul(st.feats, plan.gather, weight, compute_dtype,
+                               use_pallas, window=window, nwin=nwin,
+                               lanes=lanes, tile=tile)
     if bias is not None:
         out = out + bias
     out = jnp.where(plan.valid[:, None], out, 0.0)

@@ -507,3 +507,102 @@ def test_subm_conv_bf16_small_backbone_stage(rng):
                              compute_dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(got.feats), np.asarray(ref.feats),
                                atol=1e-2, rtol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# fused lookup-conv (no separate index lookup)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_subm_conv_matches_xla_fastpath(rng):
+    """B=1 key-sorted tensor: the fused kernel (key-compare one-hot)
+    reproduces the XLA gather conv exactly, with no coverage flag."""
+    from shasta_tpu.ops.pallas.window_conv import collect_coverage_flags
+
+    st, _, _ = _make_sparse(rng, B=1, shape=(6, 12, 12), n=50, C=4, cap=64)
+    tbl = sp.key_table(st)
+    idx_ref = sp.build_subm_index(st, table=tbl)
+    w = jnp.asarray((rng.normal(size=(27, 4, 5)) * 0.2).astype(np.float32))
+    want = sp.subm_conv_apply(st, idx_ref, w).feats
+
+    fidx = sp.build_subm_index_fused(st, tbl)
+    with collect_coverage_flags() as cf:
+        got = sp.subm_conv_apply(st, fidx, w).feats
+    assert bool(cf.all_ok()), "sorted B=1 input must stay on the fast path"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fused_subm_conv_fallback_on_unsorted(rng):
+    """Physically unsorted rows violate the fused contract: the monotone
+    check trips the flag and the lax.cond fallback stays exact."""
+    from shasta_tpu.ops.pallas.window_conv import collect_coverage_flags
+
+    st, _, _ = _make_sparse(rng, B=1, shape=(6, 12, 12), n=50, C=4, cap=64)
+    perm = rng.permutation(st.capacity)
+    st = sp.SparseTensor(feats=st.feats[perm], coords=st.coords[perm],
+                         valid=st.valid[perm], shape=st.shape,
+                         batch_size=1)
+    tbl = sp.key_table(st)
+    idx_ref = sp.build_subm_index(st, table=tbl)
+    w = jnp.asarray((rng.normal(size=(27, 4, 5)) * 0.2).astype(np.float32))
+    want = sp.subm_conv_apply(st, idx_ref, w).feats
+
+    fidx = sp.build_subm_index_fused(st, tbl)
+    with collect_coverage_flags() as cf:
+        _ = sp.subm_conv_apply(st, fidx, w).feats
+    assert not bool(cf.all_ok()), "unsorted rows must trip the hard flag"
+    # no sink: lax.cond falls back to the exact XLA path
+    got = sp.subm_conv_apply(st, fidx, w).feats
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fused_strided_conv_matches_xla(rng):
+    """Fused strided plan (gather-free) + conv == the XLA plan + conv,
+    including the nwin=2 second window and the 27-tap triple grouping."""
+    from shasta_tpu.ops.pallas.window_conv import (FusedIndex,
+                                                   collect_coverage_flags)
+
+    st, _, _ = _make_sparse(rng, B=1, shape=(7, 14, 14), n=90, C=4, cap=128)
+    tbl = sp.key_table(st)
+    args = ((3, 3, 3), (2, 2, 2), (1, 1, 1), 96)
+    plan_ref = sp.build_strided_plan(st, *args, table=tbl)
+    w = jnp.asarray((rng.normal(size=(27, 4, 6)) * 0.2).astype(np.float32))
+    want = sp.strided_conv_apply(st, plan_ref, w)
+
+    knobs = (256, 384, 2)
+    plan_f = sp.build_strided_plan(st, *args, table=tbl, use_pallas=True,
+                                   fused=True, knobs=knobs)
+    assert isinstance(plan_f.gather, FusedIndex)
+    np.testing.assert_array_equal(np.asarray(plan_f.coords),
+                                  np.asarray(plan_ref.coords))
+    np.testing.assert_array_equal(np.asarray(plan_f.valid),
+                                  np.asarray(plan_ref.valid))
+    with collect_coverage_flags() as cf:
+        got = sp.strided_conv_apply(st, plan_f, w, use_pallas=True,
+                                    knobs=knobs)
+    assert bool(cf.all_ok())
+    np.testing.assert_allclose(np.asarray(got.feats), np.asarray(want.feats),
+                               atol=1e-4)
+
+
+def test_fused_strided_conv_nontriple_kernel(rng):
+    """The extra stage's (3,1,1) kernel has kx=1 (no unit-spaced dx
+    triples): the fused path must group taps individually (D=1)."""
+    from shasta_tpu.ops.pallas.window_conv import collect_coverage_flags
+
+    st, _, _ = _make_sparse(rng, B=1, shape=(7, 10, 10), n=60, C=4, cap=96)
+    tbl = sp.key_table(st)
+    args = ((3, 1, 1), (2, 1, 1), (0, 0, 0), 64)
+    plan_ref = sp.build_strided_plan(st, *args, table=tbl)
+    w = jnp.asarray((rng.normal(size=(3, 4, 6)) * 0.2).astype(np.float32))
+    want = sp.strided_conv_apply(st, plan_ref, w)
+
+    knobs = (256, 384, 1)
+    plan_f = sp.build_strided_plan(st, *args, table=tbl, use_pallas=True,
+                                   fused=True, knobs=knobs)
+    with collect_coverage_flags() as cf:
+        got = sp.strided_conv_apply(st, plan_f, w, use_pallas=True,
+                                    knobs=knobs)
+    assert bool(cf.all_ok())
+    np.testing.assert_allclose(np.asarray(got.feats), np.asarray(want.feats),
+                               atol=1e-4)

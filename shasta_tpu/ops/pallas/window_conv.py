@@ -670,6 +670,18 @@ def windowed_gather_matmul(
 # replays through the exact XLA path like any other coverage miss.
 
 
+# Fused-path window-base granularity. Bases are chosen by a coarse
+# searchsorted over per-row guard keys; a granule of g wastes up to g-1
+# ranks of the window below the lowest query (the base rounds DOWN to a
+# granule boundary). At the original g=128 the waste ate the whole margin
+# at bench scale: stage-0 tiles span <=333 ranks (W=384) yet missed
+# coverage (tools/analyze_fused_miss.py, round-4 bench assert). g=32 cuts
+# the waste to <=31 for a 4x larger keys_wide table (s0: 1.4 -> 5.8 MB
+# VMEM), leaving the extraction matmul cost unchanged. Must stay a
+# multiple of the feature-slice ALIGN (32 covers int8's 8*4/1).
+FGRAN = 32
+
+
 class FusedIndex(NamedTuple):
     """Precomputed per-stage state for fused lookup-convs (built once per
     position set, shared by every conv over it — the spconv indice_key
@@ -678,7 +690,7 @@ class FusedIndex(NamedTuple):
     the caller passes to both build and apply."""
 
     queries: jnp.ndarray  # (Mp, K) int32 linear input keys; -2 = no neighbor
-    bases: jnp.ndarray  # (T, NWIN*G) int32 window rows (TILE units)
+    bases: jnp.ndarray  # (T, NWIN*G) int32 window rows (FGRAN units)
     keys_wide: jnp.ndarray  # (R, W) int32 aligned key windows
     ok: jnp.ndarray  # scalar bool: sorted table AND every query covered
 
@@ -686,9 +698,9 @@ class FusedIndex(NamedTuple):
 def _fused_conv_kernel(q_ref, base_ref, keys_ref, tab_ref, w_ref, out_ref, *,
                        NWIN: int, D: int, ALIGN: int):
     """grid (T,). q_ref (tile, K) int32 query keys (-2 = miss); base_ref
-    (T, NWIN*G) SMEM window rows in TILE units — row r covers flat table
-    positions [TILE r, TILE r + W) in ALIGNED layout (no guard shift, so
-    the feature slice at TILE r is alignment-provable); keys_ref (R, W)
+    (T, NWIN*G) SMEM window rows in FGRAN units — row r covers flat table
+    positions [FGRAN r, FGRAN r + W) in ALIGNED layout (no guard shift, so
+    the feature slice at FGRAN r is alignment-provable); keys_ref (R, W)
     widened key windows; tab_ref (FL, C) features in the same flat
     layout; w_ref (K, C, Co).
 
@@ -711,7 +723,7 @@ def _fused_conv_kernel(q_ref, base_ref, keys_ref, tab_ref, w_ref, out_ref, *,
         for w in range(NWIN):
             r = base_ref[t, NWIN * g + w]
             kwin = keys_ref[pl.ds(r, 1), :]  # (1, W)
-            fbase = pl.multiple_of(r * TILE, ALIGN)
+            fbase = pl.multiple_of(r * FGRAN, ALIGN)
             fwin = tab_ref[pl.ds(fbase, W), :]  # (W, C)
             # first occurrence of duplicate keys wins (searchsorted
             # side='left'); the wrap at lane 0 compares against lane W-1
@@ -778,28 +790,29 @@ def build_fused_index(sorted_keys, queries, *, tile: int, window: int,
     V = sorted_keys.shape[0]
     M, K = queries.shape
     W = window
+    assert W % FGRAN == 0, "fused window must be a multiple of FGRAN"
     D = 3 if triple else 1
     G = K // D
     Mp = ((M + tile - 1) // tile) * tile
     T = Mp // tile
-    R = (V + TILE - 1) // TILE + 1
-    FL = (R - 1) * TILE + W
+    R = (V + FGRAN - 1) // FGRAN + 1
+    FL = (R - 1) * FGRAN + W
 
     qpad = jnp.full((Mp, K), SENTINEL, jnp.int32).at[:M].set(
         queries.astype(jnp.int32))
     keys_flat = jnp.full((FL,), SENTINEL, jnp.int32).at[:V].set(
         sorted_keys.astype(jnp.int32))
     keys_wide = jnp.concatenate(
-        [keys_flat[i * TILE: i * TILE + R * TILE].reshape(R, TILE)
-         for i in range(W // TILE)], axis=1)
+        [keys_flat[i * FGRAN: i * FGRAN + R * FGRAN].reshape(R, FGRAN)
+         for i in range(W // FGRAN)], axis=1)
 
     # guards[r] = key just before window r (-inf for r=0); ends[r] = its
     # last key. rowof(x) = largest r with guards[r] < x.
     guards = jnp.concatenate([
         jnp.full((1,), jnp.iinfo(jnp.int32).min, jnp.int32),
-        keys_flat[TILE - 1: (R - 1) * TILE: TILE],
+        keys_flat[FGRAN - 1: (R - 1) * FGRAN: FGRAN],
     ])
-    ends = keys_flat[W - 1: FL: TILE]  # (R,)
+    ends = keys_flat[W - 1: FL: FGRAN]  # (R,)
 
     qt = qpad.reshape(T, tile, G, D)
     real = qt != SENTINEL
@@ -809,10 +822,22 @@ def build_fused_index(sorted_keys, queries, *, tile: int, window: int,
                else qlo)
     rows = jnp.searchsorted(guards, anchors.reshape(-1), side="left",
                             method="sort").astype(jnp.int32) - 1
+    rows = rows.reshape(T, G, nwin)
+    if nwin == 2:
+        # Anchor window 2 so it ENDS at qhi's granule rather than starting
+        # there: the second cluster's low members otherwise fall below the
+        # window when qhi sits near a granule boundary (round-4 bench bug:
+        # d1 tile 117 g7 — cluster ranks [13563, 13588], qhi granule start
+        # 13568). Backing off W/FGRAN - 1 granules covers W - FGRAN ranks
+        # below qhi; the value-exclusive kernel rule (q > end1 uses w2)
+        # makes any overlap with window 1 harmless.
+        rows = rows.at[:, :, 1].add(-(W // FGRAN - 1))
     bases = jnp.clip(rows, 0, R - 1).reshape(T, nwin * G)
 
     # value-based coverage: every real query must fall in (guard, end] of
-    # one of its group's windows; plus the physical-sort contract
+    # one of its group's windows; plus the physical-sort contract. cov2
+    # mirrors the kernel's value-exclusive rule exactly (w2 only matches
+    # queries beyond w1's end), so ok <=> kernel output == exact conv.
     b1 = bases.reshape(T, G, nwin)[:, :, 0]
     g1 = guards[b1][:, None, :, None]
     e1 = ends[b1][:, None, :, None]
@@ -821,7 +846,7 @@ def build_fused_index(sorted_keys, queries, *, tile: int, window: int,
         b2 = bases.reshape(T, G, nwin)[:, :, 1]
         g2 = guards[b2][:, None, :, None]
         e2 = ends[b2][:, None, :, None]
-        cov = cov | ((qt > g2) & (qt <= e2))
+        cov = cov | ((qt > g2) & (qt <= e2) & (qt > e1))
     ok = jnp.all(cov | ~real) & jnp.all(sorted_keys[1:] >= sorted_keys[:-1])
     qmask = jnp.where(qpad == SENTINEL, -2, qpad)
     return FusedIndex(queries=qmask, bases=bases, keys_wide=keys_wide, ok=ok)
@@ -847,7 +872,7 @@ def fused_conv_apply(feats, findex: FusedIndex, weight, *,
     D = 3 if triple else 1
     W = findex.keys_wide.shape[1]
     R = findex.keys_wide.shape[0]
-    FL = (R - 1) * TILE + W
+    FL = (R - 1) * FGRAN + W
     tile = Mp // findex.bases.shape[0]
     dt = compute_dtype or feats.dtype
     align = 8 * 4 // jnp.dtype(dt).itemsize
@@ -857,7 +882,7 @@ def fused_conv_apply(feats, findex: FusedIndex, weight, *,
         # precisely when rows are unsorted or a window under-covers):
         # argsort the physical keys (runs only on this cond branch),
         # searchsorted, then map back through the permutation
-        keys = findex.keys_wide[:, :TILE].reshape(-1)[:V]
+        keys = findex.keys_wide[:, :FGRAN].reshape(-1)[:V]
         order = jnp.argsort(keys)
         skeys = keys[order]
         q = findex.queries[:M]

@@ -613,49 +613,12 @@ class MultiClassScenePipeline:
 
     def __post_init__(self):
         self.params = self.params or default_tracker_params(max_age=4)
-        names = list(self.class_heads)
-
-        # Standalone per-head programs, one per UNIQUE model config:
-        # classes with equal max_obj (car/ped=90, truck/trailer=60,
-        # moto/bicycle=50) share shapes and therefore a program. The
-        # serving path runs the FUSED program (_get_fused); these stay as
-        # the program-sharing introspection surface and a piecewise-debug
-        # entry (never compiled unless called — jit is lazy).
-        programs: dict = {}
-
-        def make_head(model):
-            cfg = model.cfg
-
-            @jax.jit
-            def head(variables, bev, prev_boxes, curr_boxes, prev_feat,
-                     n_prev, n_curr):
-                from .core.bilinear import sample_bev_features
-                from .core.boxes import box_points_5
-
-                pts = box_points_5(curr_boxes[:, :, :7])
-                curr_feat = sample_bev_features(
-                    bev, pts, cfg.pc_start, cfg.voxel_size, cfg.out_stride
-                )
-                m1, m2 = model.apply(
-                    variables, prev_boxes, curr_boxes, prev_feat, curr_feat,
-                    method=ShastaModel.affinity_step,
-                )
-                dec = apply_decision_rules(
-                    m1[0], m2[0], n_prev, n_curr,
-                    fp_thresh=self.fp_thresh,
-                    decision_thresh=self.decision_thresh,
-                )
-                return curr_feat, dec
-
-            return head
-
-        self._heads = {}
-        for name in names:
-            model, variables = self.class_heads[name]
-            if model.cfg not in programs:
-                programs[model.cfg] = make_head(model)
-            self._heads[name] = programs[model.cfg]
-        # fused one-program step per active-class subset (see _get_fused)
+        # ONE fused program per active-class subset (see _get_fused). The
+        # per-head introspection programs this class once carried were
+        # deleted per the standing condition (NEXT_STEPS round 2) after
+        # the fused program's on-chip record landed: 80.5 ms/frame for the
+        # release 7-class workload, 143 s compile (PERF_NOTES round 4,
+        # tools/measure_multiclass.py).
         self._fused: dict = {}
         self.reset()
 

@@ -112,17 +112,24 @@ class StridedConvBNReLU(nn.Module):
     # Pallas (tile, window, nwin) — per-stage spans measured by
     # tools/measure_spans.py; see ops.sparse.strided_conv_apply.
     knobs: tuple = (256, 512, 2)
+    # Fused-path (tile, window, nwin): the fused kernel's value-window
+    # coverage needs are measured separately (tools/sweep_fused_knobs.py
+    # — per-CLUSTER spans, much tighter than the positional windows the
+    # legacy kernel needs). None falls back to `knobs`.
+    fused_knobs: tuple | None = None
 
     @nn.compact
     def __call__(self, st, train: bool = False, table=None):
         lanes = st.batch_size if self.use_pallas else 1
+        # B=1 Pallas routes through the fused lookup-conv kernel
+        # (no separate gather lookup — ops/pallas/window_conv.py)
+        fused = self.use_pallas and st.batch_size == 1
+        knobs = (self.fused_knobs or self.knobs) if fused else self.knobs
         plan = sp.build_strided_plan(
             st, self.kernel, self.stride, self.padding, self.max_out,
             table=table, use_pallas=self.use_pallas, lanes=lanes,
-            # B=1 Pallas routes through the fused lookup-conv kernel
-            # (no separate gather lookup — ops/pallas/window_conv.py)
-            fused=(self.use_pallas and st.batch_size == 1),
-            knobs=self.knobs,
+            fused=fused,
+            knobs=knobs,
         )
         K = int(self.kernel[0] * self.kernel[1] * self.kernel[2])
         C = st.feats.shape[-1]
@@ -134,7 +141,7 @@ class StridedConvBNReLU(nn.Module):
         out = sp.strided_conv_apply(st, plan, w, None, compute_dtype=self.dtype,
                                     use_pallas=self.use_pallas,
                                     lanes=lanes,
-                                    knobs=self.knobs)  # bias=False (scn.py:126)
+                                    knobs=knobs)  # bias=False (scn.py:126)
         f = SparseBN(axis_name=self.bn_axis_name, name="bn")(out.feats, out.valid, train)
         return out._replace(feats=nn.relu(f))
 
@@ -198,7 +205,7 @@ class SparseBackbone(nn.Module):
             x = SparseBasicBlock(16, **bn, name="res0b")(x, idx0, train)
 
         with jax.named_scope("bb_stage1"):
-            x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, knobs=(256, 512, 2), name="down1")(x, train, table=t0)
+            x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, knobs=(256, 512, 2), fused_knobs=(256, 192, 2), name="down1")(x, train, table=t0)
             t1 = sp.key_table_presorted(x)
             idx1 = (sp.build_subm_index_fused(x, t1) if fused else
                       sp.build_subm_index(x, table=t1,
@@ -208,7 +215,7 @@ class SparseBackbone(nn.Module):
             x = SparseBasicBlock(32, **bn, name="res1b")(x, idx1, train)
 
         with jax.named_scope("bb_stage2"):
-            x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, knobs=(256, 384, 1), name="down2")(x, train, table=t1)
+            x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, knobs=(256, 384, 1), fused_knobs=(256, 288, 1), name="down2")(x, train, table=t1)
             t2 = sp.key_table_presorted(x)
             idx2 = (sp.build_subm_index_fused(x, t2) if fused else
                       sp.build_subm_index(x, table=t2,
@@ -219,7 +226,7 @@ class SparseBackbone(nn.Module):
 
         with jax.named_scope("bb_stage3"):
             # conv4 (z unpadded: padding (0,1,1), scn.py:146)
-            x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, knobs=(256, 512, 1), name="down3")(x, train, table=t2)
+            x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, knobs=(256, 512, 1), fused_knobs=(128, 320, 1), name="down3")(x, train, table=t2)
             t3 = sp.key_table_presorted(x)
             idx3 = (sp.build_subm_index_fused(x, t3) if fused else
                       sp.build_subm_index(x, table=t3,
@@ -230,7 +237,7 @@ class SparseBackbone(nn.Module):
 
         with jax.named_scope("bb_extra"):
             # extra_conv: (3,1,1) stride (2,1,1) pad 0 (scn.py:155-161)
-            x = StridedConvBNReLU(128, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.cap_extra, **bn, knobs=(256, 384, 1), name="extra")(x, train, table=t3)
+            x = StridedConvBNReLU(128, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.cap_extra, **bn, knobs=(256, 384, 1), fused_knobs=(128, 224, 1), name="extra")(x, train, table=t3)
 
         dense = sp.to_dense(x)  # (B, D, H, W, C)
         B, D, H, W, C = dense.shape

@@ -60,10 +60,10 @@ def test_multiclass_shared_trunk(rng):
     assert len(ids1) == len(list(car_ids) + list(bus_ids))
 
 
-def test_equal_configs_share_head_programs():
-    """Classes with identical model configs share ONE jitted head program
-    (4 compilations instead of 7 at release scale: car/ped, truck/trailer,
-    moto/bicycle pair up)."""
+def test_fused_program_cached_per_subset():
+    """The fused multi-class step compiles ONE program per active-class
+    subset and caches it (jit is lazy, so building the callables is
+    cheap); repeated subsets reuse the same program object."""
     from shasta_tpu.infer import MultiClassScenePipeline, default_tracker_params
 
     cfg90 = _mini_cfg(6)
@@ -76,8 +76,11 @@ def test_equal_configs_share_head_programs():
         class_heads={"car": (car, v), "pedestrian": (ped, v), "bus": (bus, v)},
         trunk_key="car", params=default_tracker_params(max_age=4),
     )
-    assert pipe._heads["car"] is pipe._heads["pedestrian"]
-    assert pipe._heads["car"] is not pipe._heads["bus"]
+    f1 = pipe._get_fused(("car", "bus"), fast=False)
+    f2 = pipe._get_fused(("car", "bus"), fast=False)
+    f3 = pipe._get_fused(("car", "pedestrian", "bus"), fast=False)
+    assert f1 is f2
+    assert f1 is not f3
 
 
 def test_multiclass_fast_equals_safe(rng):

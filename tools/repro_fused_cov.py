@@ -136,10 +136,10 @@ def main():
         shape=tuple(int(v) for v in cfg.grid_shape), batch_size=1)
 
     stages = [
-        ("d1", (3, 3, 3), (2, 2, 2), (1, 1, 1), cfg.cap_conv2, (256, 512, 2), 32),
-        ("d2", (3, 3, 3), (2, 2, 2), (1, 1, 1), cfg.cap_conv3, (256, 384, 1), 64),
-        ("d3", (3, 3, 3), (2, 2, 2), (0, 1, 1), cfg.cap_conv4, (256, 512, 1), 128),
-        ("ex", (3, 1, 1), (2, 1, 1), (0, 0, 0), cfg.cap_extra, (256, 384, 1), 128),
+        ("d1", (3, 3, 3), (2, 2, 2), (1, 1, 1), cfg.cap_conv2, (256, 192, 2), 32),
+        ("d2", (3, 3, 3), (2, 2, 2), (1, 1, 1), cfg.cap_conv3, (256, 288, 1), 64),
+        ("d3", (3, 3, 3), (2, 2, 2), (0, 1, 1), cfg.cap_conv4, (128, 320, 1), 128),
+        ("ex", (3, 1, 1), (2, 1, 1), (0, 0, 0), cfg.cap_extra, (128, 224, 1), 128),
     ]
 
     t = sp.key_table_checked(st)

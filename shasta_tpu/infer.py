@@ -731,24 +731,19 @@ class MultiClassScenePipeline:
         self._table = st.TrackTable.empty(cap * (self.params.max_age + 1))
         self._id_count = jnp.int32(0)
 
-    def step_frame(self, frame_np: dict, class_boxes: dict, time_lag: float,
-                   safe: bool = False):
-        """frame_np: voxel arrays (B=1). class_boxes: {name: (det_boxes11
-        (1,N_c,11), n_curr)}. Returns {name: StepOutput} with per-class
-        tid/used/ref of length 2*N_c (FN rows at [N_c, 2*N_c)).
-
-        The whole frame (trunk + every class head + merged tracker step)
-        runs as ONE jitted program with ONE scalar put and ONE packed
-        output fetch. Each StepOutput carries coverage_ok; when any is
-        False the caller replays the scene with safe=True (same contract
-        as ScenePipeline)."""
+    def dispatch_frame(self, frame_np: dict, class_boxes: dict,
+                       time_lag: float, safe: bool = False):
+        """Enqueue one frame's fused program; returns (packed_handle,
+        names) WITHOUT forcing the device->host fetch. Pair with
+        unpack_frame — fetching frame t-1's packed array while frame t
+        computes overlaps the relay round trip with compute, exactly like
+        ScenePipeline's deferred-fetch eval loop."""
         frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
         names = tuple(
             n for n in NUSCENES_TRACKING_NAMES
             if n in self.class_heads and n in class_boxes
         )
         fn = self._get_fused(names, fast=not safe)
-        C = len(names)
         # one (2C+1,) f32 put: per-class n_prev, n_curr, then the lag
         scalars = jnp.asarray(
             [float(self._state[n]["n_prev"]) for n in names]
@@ -769,7 +764,25 @@ class MultiClassScenePipeline:
             s["prev_feat"] = curr_feats[n]
             s["prev_boxes"] = boxes_d[n]
             s["n_prev"] = int(class_boxes[n][1])
+        return packed, names
 
+    def step_frame(self, frame_np: dict, class_boxes: dict, time_lag: float,
+                   safe: bool = False):
+        """frame_np: voxel arrays (B=1). class_boxes: {name: (det_boxes11
+        (1,N_c,11), n_curr)}. Returns {name: StepOutput} with per-class
+        tid/used/ref of length 2*N_c (FN rows at [N_c, 2*N_c)).
+
+        The whole frame (trunk + every class head + merged tracker step)
+        runs as ONE jitted program with ONE scalar put and ONE packed
+        output fetch. Each StepOutput carries coverage_ok; when any is
+        False the caller replays the scene with safe=True (same contract
+        as ScenePipeline)."""
+        packed, names = self.dispatch_frame(frame_np, class_boxes, time_lag,
+                                            safe=safe)
+        return self.unpack_frame(packed, names)
+
+    def unpack_frame(self, packed, names):
+        """Fetch + decode one dispatch_frame result into {name: StepOutput}."""
         p = np.asarray(packed)
         L = sum(2 * self.class_heads[n][0].cfg.max_obj for n in names)
         tid_np, used_np, ref_np = (

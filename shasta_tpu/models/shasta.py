@@ -138,7 +138,10 @@ class ShastaModel(nn.Module):
         """Shared-conv BEV map (B, H, W, 64) for ONE frame.
 
         frame keys: voxels (B,V,P,5), num_points (B,V), coordinates (B,V,3),
-        voxels_valid (B,V).
+        voxels_valid (B,V). Optional plan_* keys (host-built sparse-conv
+        plans, shasta_tpu/plans.py) route the backbone's narrow stages
+        through the position-fed block kernel with zero on-device plan
+        building (B=1 Pallas serving only).
         """
         B, V = frame["voxels"].shape[:2]
         c = self.cfg
@@ -158,7 +161,8 @@ class ShastaModel(nn.Module):
             shape=c.grid_shape,
             batch_size=B,
         )
-        bev = self.backbone(st, train)
+        plans = {k[5:]: v for k, v in frame.items() if k.startswith("plan_")}
+        bev = self.backbone(st, train, plans=plans or None)
         bev = self.neck(bev, train)
         return self.shared_conv(bev, train)
 

@@ -230,11 +230,15 @@ def build_subm_index_fused(
     kernel: Sequence[int] = (3, 3, 3),
 ):
     """Fused-path replacement for build_subm_index: no lookup runs here —
-    it returns the per-stage FusedIndex (query keys, window bases,
-    coverage flag) that subm_conv_apply feeds to the fused lookup-conv
-    kernel (ops/pallas/window_conv.py). Built once per position set and
-    shared by the stage's convs, like spconv's indice_key caching.
-    Requires physically key-sorted rows (checked into the coverage flag).
+    it returns the per-stage fused index (query keys, window bases,
+    coverage flag) that subm_conv_apply feeds to a fused lookup-conv
+    kernel. Built once per position set and shared by the stage's convs,
+    like spconv's indice_key caching. Requires physically key-sorted rows
+    (checked into the coverage flag).
+
+    C_in <= 32 stages route to the block-extraction kernel
+    (ops/pallas/block_conv.py — full-width MXU extraction); wider stages
+    use the one-hot windowed kernel (ops/pallas/window_conv.py).
     """
     from .pallas.window_conv import SUBM_KNOBS, build_fused_index
 
@@ -256,12 +260,19 @@ def build_subm_index_fused(
     cell = (n[..., 0] * Y + n[..., 1]) * X + n[..., 2]
     key = b[:, None] * (Z * Y * X + 1) + cell
     qk = jnp.where(in_range, key, SENTINEL)
-    tile, W = SUBM_KNOBS.get(st.feats.shape[1], (256, 384))
-    # PHYSICAL row keys, not table.sorted_keys: the fused kernel slices
-    # feature rows by table position, so the monotone check inside
-    # build_fused_index must validate the physical row order itself
+    # PHYSICAL row keys, not table.sorted_keys: the fused kernels slice
+    # feature rows by table position, so the monotone check inside the
+    # index build must validate the physical row order itself
     # (a permuted-but-sorted KeyTable would pass otherwise)
     phys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+    # NOTE (round 5): an in-graph key-compare block-extraction variant
+    # (build_block_index) was measured 10x SLOWER than this kernel on v5e
+    # (31 ms/conv at s0 — narrow-lane Mosaic ops cost ~50 cycles each;
+    # tools/probe_block_conv.py, PERF_NOTES). The winning block kernel
+    # takes HOST-precomputed positions instead — see ops/pallas/
+    # block_conv.pos_conv_apply and shasta_tpu/plans.py; it is engaged by
+    # passing host plans to the backbone, not through this builder.
+    tile, W = SUBM_KNOBS.get(st.feats.shape[1], (256, 384))
     return build_fused_index(phys, qk, tile=tile, window=W,
                              nwin=1, triple=True)
 
@@ -279,12 +290,17 @@ def subm_conv_apply(
 
     compute_dtype=jnp.bfloat16 runs the im2col matmul on the MXU in bf16
     with f32 accumulation (the free TPU win; SURVEY §2.8 mixed precision).
-    A FusedIndex routes through the fused lookup-conv kernel instead of
-    gather indices (see build_subm_index_fused).
+    A FusedIndex/BlockIndex routes through a fused lookup-conv kernel
+    instead of gather indices (see build_subm_index_fused).
     """
+    from .pallas.block_conv import PosIndex, pos_conv_apply
     from .pallas.window_conv import FusedIndex, fused_conv_apply
 
-    if isinstance(index, FusedIndex):
+    if isinstance(index, PosIndex):
+        out = pos_conv_apply(st.feats, index, weight,
+                             compute_dtype=compute_dtype,
+                             m_out=st.capacity)
+    elif isinstance(index, FusedIndex):
         out = fused_conv_apply(st.feats, index, weight,
                                compute_dtype=compute_dtype, nwin=1,
                                triple=True, m_out=st.capacity)
@@ -498,16 +514,18 @@ def build_strided_plan(
     qk = jnp.where(in_range, qk, SENTINEL)
     if fused and use_pallas and lane_slots == 1:
         # fused lookup-conv: skip the gather lookup entirely — the plan
-        # carries a FusedIndex (query keys + window bases) and
-        # strided_conv_apply resolves matches inside the conv kernel
-        # (ops/pallas/window_conv.py). knobs = (tile, window, nwin) must
-        # match the strided_conv_apply call.
-        from .pallas.window_conv import build_fused_index
-
+        # carries a fused index (query keys + window bases) and
+        # strided_conv_apply resolves matches inside the conv kernel.
+        # C_in <= 32 with unit-spaced dx taps routes to the
+        # block-extraction kernel (ops/pallas/block_conv.py); wider
+        # stages use the one-hot windowed kernel (window_conv.py) with
+        # knobs = (tile, window, nwin) matching the apply call.
         tile_k, W_k, nwin_k = knobs
         # physical input-row keys (see build_subm_index_fused): validates
         # that st's rows really are in key order, not just the KeyTable
         phys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+        from .pallas.window_conv import build_fused_index
+
         findex = build_fused_index(phys, qk, tile=tile_k, window=W_k,
                                    nwin=nwin_k, triple=(kx == 3))
         return StridedPlan(out_coords, out_valid, findex, out_shape)
@@ -522,6 +540,103 @@ def build_strided_plan(
     else:
         gather = _sorted_lookup(sorted_in, perm, qk, use_pallas,
                                 lanes=lane_slots)  # (V_out, K)
+    return StridedPlan(out_coords, out_valid, gather, out_shape)
+
+
+def decode_strided_keys(out_keys: jnp.ndarray, in_shape, kernel, stride,
+                        padding, batch_size: int):
+    """(max_out,) ascending keys (SENTINEL pads) -> (coords (max_out,4),
+    valid, out_shape). Mirrors the decode inside build_strided_plan;
+    invalid rows get b = batch_size so frame-major packing stays sorted."""
+    kz, ky, kx = kernel
+    sz, sy, sx = stride
+    pz, py, px = padding
+    Z, Y, X = in_shape
+    OZ = (Z + 2 * pz - kz) // sz + 1
+    OY = (Y + 2 * py - ky) // sy + 1
+    OX = (X + 2 * px - kx) // sx + 1
+    s_out = OZ * OY * OX + 1
+    valid = out_keys != SENTINEL
+    k = jnp.where(valid, out_keys, 0)
+    rem = k % s_out
+    ox = rem % OX
+    rem = rem // OX
+    oy = rem % OY
+    oz = rem // OY
+    ob = jnp.where(valid, k // s_out, batch_size)
+    coords = jnp.stack(
+        [ob, jnp.where(valid, oz, 0), jnp.where(valid, oy, 0),
+         jnp.where(valid, ox, 0)], axis=1,
+    ).astype(jnp.int32)
+    return coords, valid, (OZ, OY, OX)
+
+
+def strided_plan_from_keys(
+    st: SparseTensor,
+    out_keys: jnp.ndarray,  # (max_out,) int32 ascending, SENTINEL pads
+    kernel: Sequence[int],
+    stride: Sequence[int],
+    padding: Sequence[int],
+    table: KeyTable | None = None,
+    use_pallas: bool = False,
+    fused: bool = False,
+    knobs: tuple[int, int, int] = (256, 512, 2),
+) -> StridedPlan:
+    """build_strided_plan with a HOST-provided output set: skips the
+    candidate enumeration + dedup sort (the expensive device pieces —
+    hoisted into shasta_tpu/plans.strided_output_keys, which mirrors the
+    same math bit-for-bit), keeping only the coord decode and the gather
+    index build on device."""
+    kz, ky, kx = kernel
+    sz, sy, sx = stride
+    pz, py, px = padding
+    Z, Y, X = st.shape
+    OZ = (Z + 2 * pz - kz) // sz + 1
+    OY = (Y + 2 * py - ky) // sy + 1
+    OX = (X + 2 * px - kx) // sx + 1
+    out_shape = (OZ, OY, OX)
+    s_out = OZ * OY * OX + 1
+    out_valid = out_keys != SENTINEL
+    k = jnp.where(out_valid, out_keys, 0)
+    rem = k % s_out
+    ox = rem % OX
+    rem = rem // OX
+    oy = rem % OY
+    oz = rem // OY
+    ob = jnp.where(out_valid, k // s_out, st.batch_size)
+    out_coords = jnp.stack(
+        [ob, jnp.where(out_valid, oz, 0), jnp.where(out_valid, oy, 0),
+         jnp.where(out_valid, ox, 0)], axis=1,
+    ).astype(jnp.int32)
+
+    strides = jnp.asarray([sz, sy, sx], jnp.int32)
+    pads = jnp.asarray([pz, py, px], jnp.int32)
+    sorted_in, perm = table if table is not None else key_table(st)
+    offsets = np.stack(
+        np.meshgrid(np.arange(kz), np.arange(ky), np.arange(kx), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    ic = out_coords[:, None, 1:4] * strides + jnp.asarray(offsets, jnp.int32) - pads
+    dims = jnp.asarray([Z, Y, X], jnp.int32)
+    in_range = jnp.all((ic >= 0) & (ic < dims), axis=-1) & out_valid[:, None]
+    cell_in = (ic[..., 0] * Y + ic[..., 1]) * X + ic[..., 2]
+    qk = out_coords[:, :1] * (Z * Y * X + 1) + cell_in
+    qk = jnp.where(in_range, qk, SENTINEL)
+    if fused and use_pallas:
+        from .pallas.window_conv import build_fused_index
+
+        tile_k, W_k, nwin_k = knobs
+        phys = encode_keys(st.coords, st.valid, st.shape, st.batch_size)
+        findex = build_fused_index(phys, qk, tile=tile_k, window=W_k,
+                                   nwin=nwin_k, triple=(kx == 3))
+        return StridedPlan(out_coords, out_valid, findex, out_shape)
+    if use_pallas and kx == 3:
+        from .pallas.window_conv import windowed_lookup_triple
+
+        out = windowed_lookup_triple(sorted_in, perm, qk[:, 1::3])
+        gather = jnp.where(in_range, out, st.capacity).astype(jnp.int32)
+    else:
+        gather = _sorted_lookup(sorted_in, perm, qk, use_pallas)
     return StridedPlan(out_coords, out_valid, gather, out_shape)
 
 
@@ -543,10 +658,15 @@ def strided_conv_apply(
     # (tools/measure_spans.py: c3 span 201, c4 398, extra 255 at tile 256)
     # and pass nwin=1 from the backbone; the coverage check still guards
     # exactness either way.
+    from .pallas.block_conv import PosIndex, pos_conv_apply
     from .pallas.window_conv import FusedIndex, fused_conv_apply
 
     tile, window, nwin = knobs
-    if isinstance(plan.gather, FusedIndex):
+    if isinstance(plan.gather, PosIndex):
+        out = pos_conv_apply(
+            st.feats, plan.gather, weight, compute_dtype=compute_dtype,
+            m_out=plan.valid.shape[0])
+    elif isinstance(plan.gather, FusedIndex):
         K = plan.gather.queries.shape[1]
         G = plan.gather.bases.shape[1] // nwin
         out = fused_conv_apply(

@@ -1,0 +1,344 @@
+"""Host-side sparse-conv plan builder: the TPU analogue of spconv's GPU
+rulebook build, moved into dataloader prefetch.
+
+Every index the sparse trunk needs — submanifold neighbor positions,
+strided output sets, per-tile extraction windows — is a pure integer
+function of the voxel coordinates, which the host holds BEFORE upload
+(the voxelizer runs on host: ops/voxelize.py, runtime/). Round-4
+profiling put ~9 ms/frame of device time into plan building (candidate
+sorts, dedup compaction, searchsorted lookups, window bases); this
+module computes all of it in numpy on the host, packed into the compact
+PosWord format of ops/pallas/block_conv.py (~5 MB/frame, ~4 ms to
+upload at the measured 1.3 GB/s relay bandwidth, overlapped with
+compute).
+
+Exactness: positions are exact searchsorted results against the exact
+key table the device will hold; the window-fit check happens HERE (the
+`ok` flag) so the device program carries no coverage flags or fallback
+branches for plan-backed stages. A frame whose plan does not fit (<<1%:
+pathological density spreads) is dispatched through the in-graph safe
+program instead.
+
+Behavioral reference: spconv rulebook semantics as used by
+det3d/models/backbones/scn.py:99-211 (SubMConv3d indice_key reuse,
+SparseConv3d output-set construction); numerics mirror
+shasta_tpu/ops/sparse.py bit-for-bit (same key encoding, same
+parity-restricted candidate enumeration, same ascending dedup +
+truncation).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from .ops.pallas.block_conv import (
+    B_PRES_0,
+    B_PRES_M1,
+    B_VALID_0,
+    B_VALID_M1,
+    B_VALID_P1,
+    B_WSEL,
+    BLOCK_TILE,
+    GB,
+    REL_BITS,
+    block_geometry,
+)
+
+SENTINEL = np.int64(np.iinfo(np.int32).max)
+_MASK = np.int64(2**62)  # host-internal "no query" marker (int64 domain)
+
+
+def encode_keys_np(coords: np.ndarray, valid: np.ndarray, shape,
+                   batch_size: int) -> np.ndarray:
+    """int64 mirror of ops.sparse.encode_keys (int64 so +-1 neighbor
+    arithmetic can never wrap)."""
+    Z, Y, X = shape
+    cells = Z * Y * X
+    stride = cells + 1
+    b = coords[:, 0].astype(np.int64)
+    cell = ((coords[:, 1].astype(np.int64) * Y + coords[:, 2]) * X
+            + coords[:, 3])
+    key = b * stride + cell
+    filler = np.clip(b, 0, batch_size) * stride + cells
+    return np.where(valid, key, filler)
+
+
+class GroupPlan(NamedTuple):
+    pos: np.ndarray  # (Mp, G) uint16 PosWords
+    bases: np.ndarray  # (T, NWIN*G) int32 granule rows
+    ok: bool  # every active row fit one of its group's windows
+
+
+def _group_plan(keys: np.ndarray, qc: np.ndarray, range_m1: np.ndarray,
+                range_p1: np.ndarray, *, C: int, nwin: int,
+                tile: int = BLOCK_TILE) -> GroupPlan:
+    """Pack PosWords + window bases for one conv geometry.
+
+    keys (V,) int64 ascending physical table keys; qc (M, G) int64
+    center-tap keys (_MASK where the (dz, dy) tap is out of grid or the
+    output row is padding); range_m1/p1 (M, 1 or G) in-grid masks for
+    the dx = -1/+1 taps."""
+    V = keys.shape[0]
+    M, G = qc.shape
+    _, H, NBWL, NBr, _ = block_geometry(V, C)
+    Mp = ((M + tile - 1) // tile) * tile
+    T = Mp // tile
+
+    j0 = np.searchsorted(keys, qc - 1, side="left")  # (M, G)
+
+    def key_at(j):
+        return np.where(j < V, keys[np.minimum(j, V - 1)], -_MASK)
+
+    pm1 = key_at(j0) == qc - 1
+    jq = j0 + pm1
+    p0 = key_at(jq) == qc
+    jp = jq + p0
+    pp1 = key_at(jp) == qc + 1
+    real = qc < _MASK
+    vm1 = pm1 & range_m1 & real
+    v0 = p0 & real  # the center tap is in-grid whenever real
+    vp1 = pp1 & range_p1 & real
+    active = vm1 | v0 | vp1
+    blk = (j0 // H).astype(np.int64)
+
+    # pad to tile multiple
+    def pad(a, fill):
+        out = np.full((Mp,) + a.shape[1:], fill, a.dtype)
+        out[:M] = a
+        return out
+
+    blk_t = pad(blk, 0).reshape(T, tile, G)
+    act_t = pad(active, False).reshape(T, tile, G)
+    j0_t = pad(j0, 0).reshape(T, tile, G)
+
+    INF = np.int64(2**62)
+    bmin1 = np.min(np.where(act_t, blk_t, INF), axis=1)  # (T, G)
+    r1 = np.clip(bmin1 // GB, 0, NBr - 1).astype(np.int32)
+    in1 = act_t & (blk_t < (r1[:, None, :].astype(np.int64) * GB + NBWL)) \
+        & (blk_t >= r1[:, None, :].astype(np.int64) * GB)
+    if nwin == 2:
+        left = act_t & ~in1
+        bmin2 = np.min(np.where(left, blk_t, INF), axis=1)
+        r2 = np.clip(bmin2 // GB, 0, NBr - 1).astype(np.int32)
+        in2 = left & (blk_t < (r2[:, None, :].astype(np.int64) * GB + NBWL)) \
+            & (blk_t >= r2[:, None, :].astype(np.int64) * GB)
+        ok = bool(np.all(in1 | in2 | ~act_t))
+        wsel = left
+        rsel = np.where(left, r2[:, None, :], r1[:, None, :])
+        bases = np.stack([r1, r2], axis=-1).reshape(T, 2 * G)
+    else:
+        ok = bool(np.all(in1 | ~act_t))
+        wsel = np.zeros_like(act_t)
+        rsel = np.broadcast_to(r1[:, None, :], act_t.shape)
+        bases = r1
+    rel = np.clip(j0_t - rsel.astype(np.int64) * GB * H, 0,
+                  (1 << REL_BITS) - 1)
+
+    def bit(a, sh):
+        return pad(a, False).reshape(T, tile, G).astype(np.uint32) << sh
+
+    v = (rel.astype(np.uint32)
+         | bit(pm1, B_PRES_M1) | bit(p0, B_PRES_0)
+         | bit(vm1, B_VALID_M1) | bit(v0, B_VALID_0)
+         | bit(vp1, B_VALID_P1)
+         | (wsel.astype(np.uint32) << B_WSEL))
+    v = np.where(act_t, v, 0).astype(np.uint16)
+    return GroupPlan(v.reshape(Mp, G), bases.astype(np.int32), ok)
+
+
+def _subm_centers(coords: np.ndarray, valid: np.ndarray, shape,
+                  batch_size: int):
+    """Center-tap keys for a 3x3x3 submanifold conv: (V, 9) int64 in
+    (dz, dy) raster order (matches ops.sparse.build_subm_index tap
+    raster with dx minor), plus dx range masks."""
+    Z, Y, X = shape
+    cells = Z * Y * X
+    stride = cells + 1
+    b = coords[:, 0].astype(np.int64)
+    z, y, x = (coords[:, i].astype(np.int64) for i in (1, 2, 3))
+    qs = []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            zz, yy = z + dz, y + dy
+            in_r = (zz >= 0) & (zz < Z) & (yy >= 0) & (yy < Y) & valid
+            q = b * stride + (zz * Y + yy) * X + x
+            qs.append(np.where(in_r, q, _MASK))
+    qc = np.stack(qs, axis=1)  # (V, 9)
+    range_m1 = (x - 1 >= 0)[:, None]
+    range_p1 = (x + 1 < X)[:, None]
+    return qc, range_m1, range_p1
+
+
+def _strided_centers(out_coords: np.ndarray, out_valid: np.ndarray,
+                     kernel, stride, padding, in_shape, batch_size: int):
+    """Center-tap (kx=1) input keys for a strided conv with kx=3: one
+    (M, kz*ky) int64 array in (kz, ky) raster order + dx range masks."""
+    kz, ky, kx = kernel
+    assert kx == 3
+    sz, sy, sx = stride
+    pz, py, px = padding
+    Z, Y, X = in_shape
+    cells = Z * Y * X
+    kstride = cells + 1
+    b = out_coords[:, 0].astype(np.int64)
+    oz, oy, ox = (out_coords[:, i].astype(np.int64) for i in (1, 2, 3))
+    ixc = ox * sx + 1 - px
+    qs = []
+    for kzi in range(kz):
+        for kyi in range(ky):
+            iz = oz * sz + kzi - pz
+            iy = oy * sy + kyi - py
+            in_r = ((iz >= 0) & (iz < Z) & (iy >= 0) & (iy < Y)
+                    & (ixc >= 0) & (ixc < X) & out_valid)
+            q = b * kstride + (iz * Y + iy) * X + ixc
+            qs.append(np.where(in_r, q, _MASK))
+    qc = np.stack(qs, axis=1)
+    range_m1 = (ixc - 1 >= 0)[:, None]
+    range_p1 = (ixc + 1 < X)[:, None]
+    return qc, range_m1, range_p1
+
+
+def strided_output_keys(coords: np.ndarray, valid: np.ndarray, kernel,
+                        stride, padding, max_out: int, in_shape,
+                        batch_size: int):
+    """Exact spconv output set, ascending by key with SENTINEL padding —
+    mirrors ops.sparse.build_strided_plan's parity-restricted candidate
+    enumeration + sorted dedup + smallest-keys truncation bit-for-bit.
+
+    Returns (out_keys (max_out,) int64 incl. SENTINEL pads, out_shape).
+    """
+    kz, ky, kx = kernel
+    sz, sy, sx = stride
+    pz, py, px = padding
+    Z, Y, X = in_shape
+    OZ = (Z + 2 * pz - kz) // sz + 1
+    OY = (Y + 2 * py - ky) // sy + 1
+    OX = (X + 2 * px - kx) // sx + 1
+    b = coords[:, 0].astype(np.int64)
+    zyx = coords[:, 1:4].astype(np.int64)
+    strides = np.array([sz, sy, sx], np.int64)
+    pads = np.array([pz, py, px], np.int64)
+    kdims = np.array([kz, ky, kx], np.int64)
+    out_dims = np.array([OZ, OY, OX], np.int64)
+    counts = [int(np.ceil(k / s)) for k, s in ((kz, sz), (ky, sy), (kx, sx))]
+    i_grid = np.stack(
+        np.meshgrid(*[np.arange(c) for c in counts], indexing="ij"), axis=-1
+    ).reshape(-1, 3).astype(np.int64)
+    r = (zyx + pads) % strides
+    taps = r[:, None, :] + i_grid[None] * strides
+    o = (zyx[:, None, :] + pads - taps) // strides
+    okm = (np.all(taps < kdims, axis=-1) & np.all(o >= 0, axis=-1)
+           & np.all(o < out_dims, axis=-1) & valid[:, None])
+    s_out = OZ * OY * OX + 1
+    cell_out = (o[..., 0] * OY + o[..., 1]) * OX + o[..., 2]
+    cand = b[:, None] * s_out + cell_out
+    u = np.unique(cand[okm])
+    u = u[:max_out]
+    out = np.full((max_out,), SENTINEL, np.int64)
+    out[: u.shape[0]] = u
+    return out, (OZ, OY, OX)
+
+
+def decode_out_coords(out_keys: np.ndarray, out_shape, batch_size: int):
+    """Mirror of the device key->coord decode (ops.sparse
+    build_strided_plan): invalid rows get b = batch_size, zyx = 0."""
+    OZ, OY, OX = out_shape
+    s_out = OZ * OY * OX + 1
+    valid = out_keys != SENTINEL
+    k = np.where(valid, out_keys, 0)
+    rem = k % s_out
+    ox = rem % OX
+    rem = rem // OX
+    oy = rem % OY
+    oz = rem // OY
+    ob = np.where(valid, k // s_out, batch_size)
+    coords = np.stack(
+        [ob, np.where(valid, oz, 0), np.where(valid, oy, 0),
+         np.where(valid, ox, 0)], axis=1,
+    ).astype(np.int32)
+    return coords, valid
+
+
+class FramePlans(NamedTuple):
+    """Host-built plans for one frame's full backbone pass. `arrays` go
+    into the frame dict under 'plan_<name>'; `ok` False means at least
+    one window did not fit (dispatch the in-graph safe program)."""
+
+    arrays: dict
+    ok: bool
+
+
+def frame_plans(coords3: np.ndarray, valid: np.ndarray, cfg) -> FramePlans:
+    """Plans for ScenePipeline serving (B=1). coords3 (V, 3) int [z,y,x]
+    in the PHYSICAL upload order (must be key-sorted — verified here);
+    valid (V,) bool; cfg a ShastaConfig (grid_shape + stage caps)."""
+    V = coords3.shape[0]
+    coords = np.concatenate(
+        [np.zeros((V, 1), np.int32), coords3.astype(np.int32)], axis=1)
+    shape0 = tuple(cfg.grid_shape)
+    keys0 = encode_keys_np(coords, valid, shape0, 1)
+    ok = bool(np.all(np.where(valid[1:], keys0[1:] > keys0[:-1],
+                              keys0[1:] >= keys0[:-1])))
+    arrays: dict = {}
+
+    # stage 0 submanifold (conv_input + res0, C<=16 packing)
+    qc, rm, rp = _subm_centers(coords, valid, shape0, 1)
+    p = _group_plan(keys0, qc, rm, rp, C=16, nwin=1)
+    ok &= p.ok
+    arrays["s0_pos"], arrays["s0_bases"] = p.pos, p.bases
+
+    # down1 strided (input C=16 table) — bimodal z-boundary tiles: nwin=2
+    d1_keys, d1_shape = strided_output_keys(
+        coords, valid, (3, 3, 3), (2, 2, 2), (1, 1, 1), cfg.cap_conv2,
+        shape0, 1)
+    c1, v1 = decode_out_coords(d1_keys, d1_shape, 1)
+    qc, rm, rp = _strided_centers(c1, v1, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                  shape0, 1)
+    p = _group_plan(keys0, qc, rm, rp, C=16, nwin=2)
+    ok &= p.ok
+    arrays["d1_keys"] = d1_keys.astype(np.int32)
+    arrays["d1_pos"], arrays["d1_bases"] = p.pos, p.bases
+
+    # res1 submanifold on the down1 set (C=32 packing). keys1 re-encodes
+    # the decoded coords so invalid rows carry the same filler keys the
+    # DEVICE tensor's physical rows will (encode_keys of the decoded
+    # plan coords) — position alignment must be exact.
+    keys1 = encode_keys_np(c1, v1, d1_shape, 1)
+    qc, rm, rp = _subm_centers(c1, v1, d1_shape, 1)
+    p = _group_plan(keys1, qc, rm, rp, C=32, nwin=1)
+    ok &= p.ok
+    arrays["d1s_pos"], arrays["d1s_bases"] = p.pos, p.bases
+
+    # down2 strided (input C=32 table)
+    d2_keys, d2_shape = strided_output_keys(
+        c1, v1, (3, 3, 3), (2, 2, 2), (1, 1, 1), cfg.cap_conv3, d1_shape, 1)
+    c2, v2 = decode_out_coords(d2_keys, d2_shape, 1)
+    qc, rm, rp = _strided_centers(c2, v2, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                  d1_shape, 1)
+    p = _group_plan(keys1, qc, rm, rp, C=32, nwin=2)
+    ok &= p.ok
+    arrays["d2_keys"] = d2_keys.astype(np.int32)
+    arrays["d2_pos"], arrays["d2_bases"] = p.pos, p.bases
+
+    # later stages (C>=64) keep the on-device key-compare kernel; only
+    # their OUTPUT SETS (the candidate sort/dedup — the expensive part)
+    # are hoisted
+    d3_keys, d3_shape = strided_output_keys(
+        c2, v2, (3, 3, 3), (2, 2, 2), (0, 1, 1), cfg.cap_conv4, d2_shape, 1)
+    c3, v3 = decode_out_coords(d3_keys, d3_shape, 1)
+    arrays["d3_keys"] = d3_keys.astype(np.int32)
+    ex_keys, _ = strided_output_keys(
+        c3, v3, (3, 1, 1), (2, 1, 1), (0, 0, 0), cfg.cap_extra, d3_shape, 1)
+    arrays["ex_keys"] = ex_keys.astype(np.int32)
+
+    return FramePlans(arrays, ok)
+
+
+def attach_plans(frame: dict, plans: FramePlans) -> dict:
+    """Return a copy of `frame` with the plan arrays under plan_* keys
+    (ScenePipeline passes unknown keys straight to the device)."""
+    out = dict(frame)
+    for k, v in plans.arrays.items():
+        out["plan_" + k] = v
+    return out

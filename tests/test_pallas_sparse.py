@@ -572,7 +572,11 @@ def test_fused_strided_conv_matches_xla(rng):
     knobs = (256, 384, 2)
     plan_f = sp.build_strided_plan(st, *args, table=tbl, use_pallas=True,
                                    fused=True, knobs=knobs)
-    assert isinstance(plan_f.gather, FusedIndex)
+    # C_in <= 32 routes to the block-extraction kernel (block_conv.py);
+    # either fused index type must keep the same exactness contract
+    from shasta_tpu.ops.pallas.block_conv import BlockIndex
+
+    assert isinstance(plan_f.gather, (FusedIndex, BlockIndex))
     np.testing.assert_array_equal(np.asarray(plan_f.coords),
                                   np.asarray(plan_ref.coords))
     np.testing.assert_array_equal(np.asarray(plan_f.valid),

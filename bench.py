@@ -39,6 +39,13 @@ import time
 REFERENCE_FPS_ESTIMATE = 20.0
 V_PER_FRAME = 120000
 N_DETS = 60
+# Useful (algorithmic) conv FLOPs per frame at car scale — the
+# gather-free im2col FLOPs of the sparse trunk's 19 convs at the bench's
+# measured per-stage voxel counts (tools/prof_trunk.py flops accounting,
+# round-4: 93.7 GF). The MFU denominator is the v5e f32 MXU peak; at
+# bf16 the same number would read 4x lower.
+USEFUL_FLOPS_PER_FRAME = 93.7e9
+F32_PEAK_FLOPS = 49e12  # TPU v5e per chip
 
 
 def _probe_devices(q):
@@ -337,6 +344,11 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
+                # useful-FLOPs / f32-peak (VERDICT r4 #5): how far the
+                # sparse workload sits from the chip's MXU ceiling —
+                # 26 f/s at 2.9% and 26 f/s at 40% are different worlds
+                "mfu": round(fps * USEFUL_FLOPS_PER_FRAME / F32_PEAK_FLOPS,
+                             4),
                 "platform": jax.devices()[0].platform,
                 "lanes": lanes,
             }

@@ -589,20 +589,35 @@ class BatchedScenePipeline:
 
 @dataclass
 class MultiClassScenePipeline:
-    """Shared-trunk 7-class inference.
+    """Shared-trunk 7-class inference, fully vmapped over classes.
 
     The reference evaluates 7 per-class models independently
     (official_val.sh), recomputing the BEV trunk 14x per frame pair. All 7
     released models share the SAME frozen trunk (bev_map.pth,
-    configs/nusc/*.py:22), so here the trunk runs ONCE per frame; each
-    class's affinity head (its own converted checkpoint, its own max_obj)
-    samples descriptors from the shared 64-channel BEV map, and one merged
-    multi-class scan-tracker table tracks everything on device.
+    configs/nusc/*.py:22), so here the trunk runs ONCE per frame, and the
+    7 class heads run as ONE vmapped head over a (C,) class axis:
+
+    - per-class affinity params (different max_obj per config) are
+      transformed to a uniform width with the EXACT padding transform of
+      shasta_tpu/multiclass.py (zero-scattered params + n_real masking);
+    - BEV sampling / decision rules / tracker steps are vmapped;
+    - each class tracks in its own fixed-capacity table (the merged
+      tracker's distance matrix is block-diagonal by class — cross-class
+      matches are gated off — so per-class tables reproduce
+      PubTrackerMerged exactly up to the shared-CAP overflow edge case,
+      and per-class caps here are at least as large);
+    - new-track ids are assigned per class RELATIVELY and rebased by the
+      global count + preceding classes' new-track counts, reproducing the
+      merged det-order numbering (pub_tracker_merged.py semantics).
+
+    Replaces the round-4 serialized per-class loop, whose 7 sequential
+    head subgraphs + one 920-row merged greedy scan dominated the fused
+    program at 80.5 ms/frame (PERF_NOTES): the vmapped tracker scans
+    2*N_max=180 rows instead of 920.
 
     class_heads: {name: (model, variables)} — `variables` may share the
-    trunk subtree; only the affinity/shared-conv parts differ per class.
-    trunk_key: which class's variables provide the shared trunk + shared
-    conv (they are identical when converted from the reference release).
+    trunk subtree; only the affinity parts differ per class. trunk_key:
+    which class's variables provide the shared trunk + shared conv.
     """
 
     class_heads: dict
@@ -612,123 +627,173 @@ class MultiClassScenePipeline:
     decision_thresh: float = 0.5
 
     def __post_init__(self):
+        from .models.affinity import AffinityNet
+        from .multiclass import stack_class_heads
+
         self.params = self.params or default_tracker_params(max_age=4)
-        # ONE fused program per active-class subset (see _get_fused). The
-        # per-head introspection programs this class once carried were
-        # deleted per the standing condition (NEXT_STEPS round 2) after
-        # the fused program's on-chip record landed: 80.5 ms/frame for the
-        # release 7-class workload, 143 s compile (PERF_NOTES round 4,
-        # tools/measure_multiclass.py).
+        self._names = tuple(n for n in NUSCENES_TRACKING_NAMES
+                            if n in self.class_heads)
+        cfgs = [self.class_heads[n][0].cfg for n in self._names]
+        self.n_max = max(c.max_obj for c in cfgs)
+        c0 = cfgs[0]
+        assert all((c.pc_start, c.voxel_size, c.out_stride,
+                    c.num_point, c.share_conv_channel)
+                   == (c0.pc_start, c0.voxel_size, c0.out_stride,
+                       c0.num_point, c0.share_conv_channel) for c in cfgs)
+        # Test seam: duck-typed models without real params (empty
+        # variables) keep their own affinity_step, vmapped directly —
+        # only uniform max_obj is supported there.
+        self._crafted = not all(
+            isinstance(v, dict) and "params" in v
+            for (_, v) in self.class_heads.values())
+        if self._crafted:
+            assert all(c.max_obj == self.n_max for c in cfgs), \
+                "crafted heads require uniform max_obj"
+            self._stacked = jnp.zeros((len(self._names),))
+            self._n_real = jnp.full((len(self._names),), self.n_max,
+                                    jnp.int32)
+        else:
+            self._stacked, self._n_real = stack_class_heads(
+                self.class_heads, self._names, self.n_max)
+        self._cls_ids = jnp.asarray(
+            [NUSCENES_TRACKING_NAMES.index(n) for n in self._names],
+            jnp.int32)
+        self._head = AffinityNet(
+            max_obj=self.n_max, num_feats=c0.num_feats,
+            num_point=c0.num_point,
+            share_conv_channel=c0.share_conv_channel)
+        self._F = c0.num_point * c0.share_conv_channel
+        self.cap = 2 * self.n_max * (self.params.max_age + 1)
         self._fused: dict = {}
         self.reset()
 
-    def _get_fused(self, names: tuple, fast: bool):
-        """ONE jitted program for trunk + every class head + the merged
-        tracker step. The per-head path costs ~10 dispatches and 7 scalar
-        puts per frame — each a relay round trip on tunneled TPUs; fusing
-        collapses them into one dispatch + one scalar put. Cached per
-        active-class subset (stable across a scene) and fast/safe variant.
-        """
-        key = (names, fast)
-        if key in self._fused:
-            return self._fused[key]
+    def _get_fused(self, fast: bool):
+        """ONE jitted program: trunk + vmapped heads + vmapped per-class
+        tracker steps + global id rebase. Cached per fast/safe variant."""
+        if fast in self._fused:
+            return self._fused[fast]
         trunk_model, _ = self.class_heads[self.trunk_key]
-        models = {n: self.class_heads[n][0] for n in names}
-        C = len(names)
-        cap = self._table.used.shape[0]
+        C = len(self._names)
+        N = self.n_max
+        cfg0 = self.class_heads[self._names[0]][0].cfg
 
-        def body(trunk_vars, class_vars, frame, boxes_d, prev_feats,
-                 prev_boxes_d, scalars, table, id_count):
+        def body(trunk_vars, stacked, frame, boxes_st, prev_feats,
+                 prev_boxes_st, scalars, tables, id_count):
             from .core.bilinear import sample_bev_features
             from .core.boxes import box_points_5
 
+            n_prev = scalars[0:C].astype(jnp.int32)
+            n_curr = scalars[C:2 * C].astype(jnp.int32)
+            skip = scalars[2 * C:3 * C] > 0.5
+            lag = scalars[3 * C]
             bev = trunk_model.apply(
                 trunk_vars, frame, train=False, method=ShastaModel.bev_single
             )
-            lag = scalars[2 * C]
-            det_parts, keeps, fns, curr_feats = [], [], [], {}
-            dead_pad = jnp.zeros((cap,), bool)
-            offset = 0
-            for i, name in enumerate(names):
-                model = models[name]
-                cfg = model.cfg
-                boxes = boxes_d[name]
-                prev_boxes = prev_boxes_d[name]
-                n_prev = scalars[i].astype(jnp.int32)
-                n_curr = scalars[C + i].astype(jnp.int32)
-                pts = box_points_5(boxes[:, :, :7])
-                curr_feat = sample_bev_features(
-                    bev, pts, cfg.pc_start, cfg.voxel_size, cfg.out_stride
-                )
-                m1, m2 = model.apply(
-                    class_vars[name], prev_boxes, boxes, prev_feats[name],
-                    curr_feat, method=ShastaModel.affinity_step,
-                )
-                dec = apply_decision_rules(
-                    m1[0], m2[0], n_prev, n_curr,
-                    fp_thresh=self.fp_thresh,
-                    decision_thresh=self.decision_thresh,
-                )
-                # retroactive dead flags for this class's prev-det slots
-                dead_pad = dead_pad.at[offset: offset + cfg.max_obj].set(dec.dead)
-                cid = NUSCENES_TRACKING_NAMES.index(name)
-                det_parts.append(_dets_with_fn(boxes[0], prev_boxes[0], dec, cid))
-                keeps.append(dec.keep)
-                fns.append(dec.fn)
-                curr_feats[name] = curr_feat
-                offset += 2 * cfg.max_obj
-            table = table._replace(dead=table.dead | (dead_pad & table.used))
-            dets = st.FrameDets(*[
-                jnp.concatenate([getattr(p, f) for p in det_parts], axis=0)
-                for f in st.FrameDets._fields
-            ])
-            table, id_count, tid, used, ref = st.step_frame(
-                table, id_count, dets, lag, self.params
-            )
-            return curr_feats, table, id_count, tid, used, ref, keeps, fns
+            pts = jax.vmap(box_points_5)(boxes_st[..., :7])  # (C,1,N,5,3)
+            curr_feats = jax.vmap(
+                sample_bev_features, in_axes=(None, 0, None, None, None)
+            )(bev, pts, cfg0.pc_start, cfg0.voxel_size, cfg0.out_stride)
 
-        def step(trunk_vars, class_vars, frame, boxes_d, prev_feats,
-                 prev_boxes_d, scalars, table, id_count):
-            args = (trunk_vars, class_vars, frame, boxes_d, prev_feats,
-                    prev_boxes_d, scalars, table, id_count)
+            def head_one(p, pb, cb, pf, cf, nr):
+                return self._head.apply(
+                    {"params": p}, pb[:, :, :7], cb[:, :, :7],
+                    cb[:, :, 7:9], cb[:, :, 9:10],
+                    pf.astype(jnp.float32), cf.astype(jnp.float32),
+                    n_real=nr)
+
+            # stacked params come in as an ARGUMENT: the aug_shape layers
+            # are ~50 MB/class at max_obj=90 — baking them as jit
+            # constants would bloat the program by >1 GB
+            if self._crafted:
+                mdl = self.class_heads[self._names[0]][0]
+                m1, m2 = jax.vmap(
+                    lambda pb, cb, pf, cf: mdl.apply(
+                        {}, pb, cb, pf, cf,
+                        method=ShastaModel.affinity_step)
+                )(prev_boxes_st, boxes_st, prev_feats, curr_feats)
+            else:
+                m1, m2 = jax.vmap(head_one)(
+                    stacked, prev_boxes_st, boxes_st, prev_feats,
+                    curr_feats, self._n_real)
+
+            dec = jax.vmap(
+                lambda a, b, np_, nc: apply_decision_rules(
+                    a, b, np_, nc, fp_thresh=self.fp_thresh,
+                    decision_thresh=self.decision_thresh)
+            )(m1[:, 0], m2[:, 0], n_prev, n_curr)
+            # retroactive dead flags: prev dets occupy slots [0, N) of
+            # their class table (det-major layout)
+            tables0 = tables
+            dead_pad = jnp.zeros((C, self.cap), bool).at[:, :N].set(dec.dead)
+            tables = tables._replace(
+                dead=tables.dead | (dead_pad & tables.used))
+            dets = jax.vmap(_dets_with_fn)(
+                boxes_st[:, 0], prev_boxes_st[:, 0], dec, self._cls_ids)
+            tables2, n_new, tid, used, ref, is_new = jax.vmap(
+                st.step_frame_core, in_axes=(0, None, 0, None, None)
+            )(tables, jnp.int32(0), dets, lag, self.params)
+            # freeze lanes whose class was not provided this frame (the
+            # per-class sequential API semantics: absent != zero dets) —
+            # against the PRE-step, pre-dead-flag state
+            tables = jax.tree.map(
+                lambda new, old: jnp.where(
+                    skip.reshape((C,) + (1,) * (new.ndim - 1)), old, new),
+                tables2, tables0)
+            n_new = jnp.where(skip, 0, n_new)
+            # global det-order id rebase (class-major, like the merged
+            # tracker's single det row stream)
+            base = id_count + jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_new)[:-1]])
+            renew = is_new & ~skip[:, None]
+            tid = jnp.where(renew, tid + base[:, None], tid)
+            tables = tables._replace(tid=jnp.where(
+                jnp.zeros((C, self.cap), bool).at[:, :2 * N].set(renew),
+                tables.tid + base[:, None], tables.tid))
+            id_count = id_count + jnp.sum(n_new)
+            return (curr_feats, tables, id_count, tid, used, ref,
+                    dec.keep, dec.fn)
+
+        def step(trunk_vars, stacked_unused, frame, boxes_st, prev_feats,
+                 prev_boxes_st, scalars, tables, id_count):
+            args = (trunk_vars, stacked_unused, frame, boxes_st, prev_feats,
+                    prev_boxes_st, scalars, tables, id_count)
             if fast:
                 from .ops.pallas.window_conv import collect_coverage_flags
 
                 with collect_coverage_flags() as fl:
-                    (curr_feats, table_, idc, tid, used, ref, keeps,
-                     fns) = body(*args)
+                    (curr_feats, tables_, idc, tid, used, ref, keep,
+                     fn_) = body(*args)
                 ok = fl.all_ok()
                 ok_strict = fl.all_ok_strict()
             else:
-                (curr_feats, table_, idc, tid, used, ref, keeps,
-                 fns) = body(*args)
+                (curr_feats, tables_, idc, tid, used, ref, keep,
+                 fn_) = body(*args)
                 ok = ok_strict = jnp.bool_(True)
-            # ONE packed host-bound array: tid/used/ref (class-major 2N_c
-            # spans) + per-class keep + fn + the [hard, strict] flags
-            packed = jnp.concatenate(
-                [tid.astype(jnp.float32), used.astype(jnp.float32), ref]
-                + [k.astype(jnp.float32) for k in keeps]
-                + [f.astype(jnp.float32) for f in fns]
-                + [ok.astype(jnp.float32)[None],
-                   ok_strict.astype(jnp.float32)[None]]
-            )
-            return curr_feats, table_, idc, packed
+            # ONE packed host-bound f32 array, uniform (C, N)-padded
+            # layout: tid/used/ref (C*2N each), keep/fn (C*N each), flags
+            packed = jnp.concatenate([
+                tid.astype(jnp.float32).reshape(-1),
+                used.astype(jnp.float32).reshape(-1),
+                ref.reshape(-1),
+                keep.astype(jnp.float32).reshape(-1),
+                fn_.astype(jnp.float32).reshape(-1),
+                ok.astype(jnp.float32)[None],
+                ok_strict.astype(jnp.float32)[None],
+            ])
+            return curr_feats, tables_, idc, packed
 
         fn = jax.jit(step)
-        self._fused[key] = fn
+        self._fused[fast] = fn
         return fn
 
     def reset(self):
-        self._state = {}
-        for name, (model, _) in self.class_heads.items():
-            cfg = model.cfg
-            self._state[name] = {
-                "prev_feat": jnp.zeros((1, cfg.max_obj, cfg.num_point * cfg.share_conv_channel)),
-                "prev_boxes": jnp.zeros((1, cfg.max_obj, 11)),
-                "n_prev": 0,  # host-side (goes into the fused scalar put)
-            }
-        cap = sum(2 * m.cfg.max_obj for m, _ in self.class_heads.values())
-        self._table = st.TrackTable.empty(cap * (self.params.max_age + 1))
+        C = len(self._names)
+        self._prev_feat = jnp.zeros((C, 1, self.n_max, self._F))
+        self._prev_boxes = jnp.zeros((C, 1, self.n_max, 11))
+        self._n_prev = np.zeros((C,), np.int32)  # host-side
+        self._tables = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (C,) + x.shape).copy(),
+            st.TrackTable.empty(self.cap))
         self._id_count = jnp.int32(0)
 
     def dispatch_frame(self, frame_np: dict, class_boxes: dict,
@@ -736,78 +801,96 @@ class MultiClassScenePipeline:
         """Enqueue one frame's fused program; returns (packed_handle,
         names) WITHOUT forcing the device->host fetch. Pair with
         unpack_frame — fetching frame t-1's packed array while frame t
-        computes overlaps the relay round trip with compute, exactly like
-        ScenePipeline's deferred-fetch eval loop."""
-        frame = {k: jnp.asarray(v) for k, v in frame_np.items() if not isinstance(v, list)}
-        names = tuple(
-            n for n in NUSCENES_TRACKING_NAMES
-            if n in self.class_heads and n in class_boxes
+        computes overlaps the relay round trip with compute.
+
+        NOTE: tracker state (tables, id counter, per-class prev_*) has
+        already advanced when this returns; if unpack_frame later
+        surfaces coverage_ok=False, mid-scene recovery is impossible —
+        reset() and replay the WHOLE scene through safe=True (the same
+        contract ScenePipeline documents on step_frame)."""
+        frame = {k: jnp.asarray(v) for k, v in frame_np.items()
+                 if not isinstance(v, list)}
+        names = tuple(n for n in self._names if n in class_boxes)
+        C = len(self._names)
+        N = self.n_max
+        boxes_np = np.zeros((C, 1, N, 11), np.float32)
+        n_curr = np.zeros((C,), np.float32)
+        skip = np.ones((C,), np.float32)
+        for i, n in enumerate(self._names):
+            if n in class_boxes:
+                b, nc = class_boxes[n]
+                boxes_np[i, :, : b.shape[1]] = np.asarray(b, np.float32)
+                n_curr[i] = float(nc)
+                skip[i] = 0.0
+        scalars = jnp.asarray(np.concatenate([
+            self._n_prev.astype(np.float32), n_curr, skip,
+            [float(time_lag)]]))
+        fn = self._get_fused(fast=not safe)
+        boxes_st = jnp.asarray(boxes_np)
+        curr_feats, self._tables, self._id_count, packed = fn(
+            self.class_heads[self.trunk_key][1], self._stacked, frame,
+            boxes_st, self._prev_feat, self._prev_boxes, scalars,
+            self._tables, self._id_count,
         )
-        fn = self._get_fused(names, fast=not safe)
-        # one (2C+1,) f32 put: per-class n_prev, n_curr, then the lag
-        scalars = jnp.asarray(
-            [float(self._state[n]["n_prev"]) for n in names]
-            + [float(class_boxes[n][1]) for n in names]
-            + [float(time_lag)], jnp.float32,
-        )
-        boxes_d = {n: jnp.asarray(class_boxes[n][0]) for n in names}
-        class_vars = {n: self.class_heads[n][1] for n in names}
-        prev_feats = {n: self._state[n]["prev_feat"] for n in names}
-        prev_boxes_d = {n: self._state[n]["prev_boxes"] for n in names}
-        trunk_vars = self.class_heads[self.trunk_key][1]
-        curr_feats, self._table, self._id_count, packed = fn(
-            trunk_vars, class_vars, frame, boxes_d, prev_feats,
-            prev_boxes_d, scalars, self._table, self._id_count,
-        )
-        for n in names:
-            s = self._state[n]
-            s["prev_feat"] = curr_feats[n]
-            s["prev_boxes"] = boxes_d[n]
-            s["n_prev"] = int(class_boxes[n][1])
+        # freeze host-side state for absent classes
+        sk = skip.astype(bool)
+        self._prev_feat = jnp.where(
+            jnp.asarray(sk)[:, None, None, None], self._prev_feat,
+            curr_feats)
+        self._prev_boxes = jnp.where(
+            jnp.asarray(sk)[:, None, None, None], self._prev_boxes,
+            boxes_st)
+        self._n_prev = np.where(sk, self._n_prev, n_curr.astype(np.int32))
         return packed, names
 
     def step_frame(self, frame_np: dict, class_boxes: dict, time_lag: float,
                    safe: bool = False):
-        """frame_np: voxel arrays (B=1). class_boxes: {name: (det_boxes11
+        """frame_np: voxel arrays (B=1), optionally with plan_* keys
+        (host sparse-conv plans). class_boxes: {name: (det_boxes11
         (1,N_c,11), n_curr)}. Returns {name: StepOutput} with per-class
         tid/used/ref of length 2*N_c (FN rows at [N_c, 2*N_c)).
 
-        The whole frame (trunk + every class head + merged tracker step)
-        runs as ONE jitted program with ONE scalar put and ONE packed
-        output fetch. Each StepOutput carries coverage_ok; when any is
-        False the caller replays the scene with safe=True (same contract
-        as ScenePipeline)."""
+        The whole frame (trunk + vmapped heads + vmapped tracker) runs as
+        ONE jitted program with ONE scalar put and ONE packed fetch. Each
+        StepOutput carries coverage_ok; when any is False the caller
+        replays the scene with safe=True (same contract as
+        ScenePipeline)."""
         packed, names = self.dispatch_frame(frame_np, class_boxes, time_lag,
                                             safe=safe)
         return self.unpack_frame(packed, names)
 
     def unpack_frame(self, packed, names):
-        """Fetch + decode one dispatch_frame result into {name: StepOutput}."""
+        """Fetch + decode one dispatch_frame result into {name: StepOutput}.
+
+        The packed layout is (C, N_max)-padded class-major; per-class
+        outputs are re-sliced to the class's own 2*N_c rows (curr rows
+        [0, N_c) + FN rows [N_max, N_max + N_c))."""
         p = np.asarray(packed)
-        L = sum(2 * self.class_heads[n][0].cfg.max_obj for n in names)
-        tid_np, used_np, ref_np = (
-            p[:L].astype(np.int32), p[L:2 * L] > 0.5, p[2 * L:3 * L]
-        )
-        off = 3 * L
-        kf: dict[str, list] = {}
-        for half in range(2):  # keeps then fns, class order
-            for name in names:
-                n_c = self.class_heads[name][0].cfg.max_obj
-                kf.setdefault(name, [None, None])[half] = p[off:off + n_c] > 0.5
-                off += n_c
+        C = len(self._names)
+        N = self.n_max
+        tid_a = p[: C * 2 * N].reshape(C, 2 * N).astype(np.int32)
+        used_a = p[C * 2 * N: 2 * C * 2 * N].reshape(C, 2 * N) > 0.5
+        ref_a = p[2 * C * 2 * N: 3 * C * 2 * N].reshape(C, 2 * N)
+        off = 3 * C * 2 * N
+        keep_a = p[off: off + C * N].reshape(C, N) > 0.5
+        fn_a = p[off + C * N: off + 2 * C * N].reshape(C, N) > 0.5
+        off += 2 * C * N
         ok = bool(p[off] > 0.5)
-        ok_strict = bool(p[off + 1] > 0.5) if off + 1 < len(p) else ok
+        ok_strict = bool(p[off + 1] > 0.5)
         out = {}
-        lo = 0
-        for name in names:
-            hi = lo + 2 * self.class_heads[name][0].cfg.max_obj
+        for i, name in enumerate(self._names):
+            if name not in names:
+                continue
+            n_c = self.class_heads[name][0].cfg.max_obj
+
+            def two(a, i=i, n_c=n_c):
+                return np.concatenate([a[i, :n_c], a[i, N: N + n_c]])
+
             out[name] = StepOutput(
-                tid=tid_np[lo:hi], used=used_np[lo:hi],
-                keep=kf[name][0], ref=ref_np[lo:hi],
-                fn=kf[name][1], coverage_ok=ok,
-                coverage_ok_strict=ok_strict,
+                tid=two(tid_a), used=two(used_a), ref=two(ref_a),
+                keep=keep_a[i, :n_c], fn=fn_a[i, :n_c],
+                coverage_ok=ok, coverage_ok_strict=ok_strict,
             )
-            lo = hi
         return out
 
 

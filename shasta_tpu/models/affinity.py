@@ -135,7 +135,16 @@ class AffinityNet(nn.Module):
         curr_dt: jnp.ndarray,  # (B, N, 1) frame time delta (sec)
         prev_feat: jnp.ndarray,  # (B, N, 320) prev-frame shape descriptors
         curr_feat: jnp.ndarray,  # (B, N, 320)
+        n_real=None,  # optional scalar: emulate a max_obj=n_real head
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """n_real (with zero-scattered params — shasta_tpu/multiclass.
+        pad_affinity_params) makes a max_obj=N head reproduce a
+        max_obj=n_real head EXACTLY for the real rows/cols: entity slots
+        [n_real, N) are excluded from the column-normalized residual_dist
+        sum and carry -1e9 logits (zero softmax mass), while the anchor
+        slots stay at [N, N+2). This is what lets the 7 per-class heads
+        (different max_obj per config) run as ONE vmapped head in the
+        fused multi-class program."""
         B, N, F = prev_feat.shape
         assert N == self.max_obj, (N, self.max_obj)
 
@@ -178,6 +187,12 @@ class AffinityNet(nn.Module):
         nf = self.num_feats
         diff = boxes_t[:, :, None, :nf] - boxes_d[:, None, :, :nf]
         residual_dist = jnp.sum(diff * diff, axis=-1)  # (B, T, D)
+        if n_real is not None:
+            # rows [n_real, N) do not exist in the emulated head: they
+            # must not contribute to the per-column normalization below
+            row_real = jnp.concatenate(
+                [jnp.arange(N) < n_real, jnp.ones((2,), bool)])
+            residual_dist = residual_dist * row_real[None, :, None]
         # torch F.normalize(x, p=2, dim=1): per-(b, d) column L2 normalization.
         norm = jnp.sqrt(jnp.sum(residual_dist**2, axis=1, keepdims=True))
         residual_dist = residual_dist / jnp.maximum(norm, 1e-12)
@@ -212,6 +227,13 @@ class AffinityNet(nn.Module):
         # --- affinity head + dual softmax, shasta.py:322-326 ---
         matched = self.aff(residual)  # row-wise MLP over D axis, (B, T, D)
         matched = matched.astype(jnp.float32)
+        if n_real is not None:
+            # padded entity rows/cols get zero softmax mass (exp(-1e9)
+            # underflows to exactly 0 in f32) — anchors stay live
+            pad_ent = jnp.concatenate(
+                [jnp.arange(N) >= n_real, jnp.zeros((2,), bool)])
+            matched = jnp.where(pad_ent[None, :, None], -1e9, matched)
+            matched = jnp.where(pad_ent[None, None, :], -1e9, matched)
         matched1 = nn.softmax(matched[:, :-2, :], axis=2)
         matched2 = nn.softmax(matched[:, :, :-2], axis=1)
         return matched1, matched2

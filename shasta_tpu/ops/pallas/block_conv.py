@@ -158,7 +158,11 @@ def _pos_conv_kernel(pos_ref, base_ref, f2_ref, w_ref, out_ref, *,
         pos_d = (rloc, rloc + pm1, rloc + pm1 + p0)
         for d in range(3):
             hd = (v >> (B_VALID_M1 + d)) & 1
-            sel = (lane_j == pos_d[d][:, None]) & (hd > 0)[:, None]
+            # fold validity into the (tile,) position scalar (1-vreg op)
+            # so the lane compare is the ONLY wide op per tap: invalid
+            # taps point at lane-block 99 (> 2H-1), matching nothing
+            px = jnp.where(hd > 0, pos_d[d], 99)
+            sel = lane_j == px[:, None]
             md = jnp.where(sel, afeat, 0.0).astype(dt)
             acc = acc + jax.lax.dot_general(
                 md, w_ref[g, d], (((1,), (0,)), ((), ())),

@@ -50,15 +50,27 @@ W_CONV = 256  # feature window per tile
 # that tile plus one band of headroom where the margin was thin
 # (tools/measure_spans.py; spans at tile 256: s0 255, s1 487, s2 298,
 # s3 294). Lane granularity is 128, so sub-128 W steps change nothing.
-# Fused subm-conv (tile, window) per channel count. Windows are the
-# per-(tile, group) max key-rank spread measured at release scale over
-# synthetic seeds (tools/sweep_fused_knobs.py: s0 194, d1->s 281,
-# d2->s 177, d3->s 182 at tile 128) + FGRAN-1 base waste + >=48 margin,
-# rounded to FGRAN. Both the kernel's VPU compare work and its MXU
-# extraction are linear in W at fixed V, so these are sized tight; a
-# frame that exceeds them trips the coverage flag and replays exactly.
-SUBM_KNOBS = {16: (128, 288), 32: (128, 384), 64: (128, 256),
-              128: (128, 256)}
+# LEGACY windowed-gather kernel (tile, W) per channel count — the
+# round-3 measured values (tile 256 is 30-40% faster than 128 for this
+# kernel; positional spans at tile 256: s0 255, s1 487, s2 298, s3 294).
+# Used by windowed_gather_matmul's default (the B>1/lanes batch path).
+# ADVICE r4 medium: these were briefly shared with the fused kernel's
+# retuned values, silently shrinking the batch path's windows — now
+# split again (FUSED_SUBM_KNOBS below).
+SUBM_KNOBS = {16: (256, 384), 32: (256, 640), 64: (256, 384),
+              128: (256, 384)}
+# Fused lookup-conv kernel (tile, window) per channel count. Windows are
+# the per-(tile, group) max key-rank CLUSTER spread measured at release
+# scale over synthetic seeds (tools/sweep_fused_knobs.py: s0 194,
+# d1->s 281, d2->s 177, d3->s 182 at tile 128) + FGRAN-1 base waste +
+# margin, rounded UP to FGRAN per the sizing rule (ADVICE r4 low: 288
+# for the C=64/128 entries — spread 182 + 31 + 48 = 261 -> 288; the
+# previous 256 left <48 ranks of margin). Both the kernel's VPU compare
+# work and its MXU extraction are linear in W at fixed V, so these are
+# sized tight; a frame that exceeds them trips the coverage flag and
+# replays exactly.
+FUSED_SUBM_KNOBS = {16: (128, 288), 32: (128, 384), 64: (128, 288),
+                    128: (128, 288)}
 # Largest feature table kept VMEM-resident (in occupied-vreg bytes — a
 # (N, C<128) array burns full 128-lane vregs); bigger tables use the XLA
 # path. The kernels request a 100 MB scoped-vmem budget, verified live on

@@ -240,7 +240,7 @@ def build_subm_index_fused(
     (ops/pallas/block_conv.py — full-width MXU extraction); wider stages
     use the one-hot windowed kernel (ops/pallas/window_conv.py).
     """
-    from .pallas.window_conv import SUBM_KNOBS, build_fused_index
+    from .pallas.window_conv import FUSED_SUBM_KNOBS, build_fused_index
 
     kz, ky, kx = kernel
     assert kx == 3, "fused subm path assumes unit-spaced dx taps"
@@ -272,7 +272,7 @@ def build_subm_index_fused(
     # takes HOST-precomputed positions instead — see ops/pallas/
     # block_conv.pos_conv_apply and shasta_tpu/plans.py; it is engaged by
     # passing host plans to the backbone, not through this builder.
-    tile, W = SUBM_KNOBS.get(st.feats.shape[1], (256, 384))
+    tile, W = FUSED_SUBM_KNOBS.get(st.feats.shape[1], (128, 288))
     return build_fused_index(phys, qk, tile=tile, window=W,
                              nwin=1, triple=True)
 

@@ -85,7 +85,22 @@ class TrackerParams(NamedTuple):
 
 def step_frame(table: TrackTable, id_count, dets: FrameDets, time_lag,
                params: TrackerParams):
-    """One tracking step. Returns (new_table, id_count, det_tid, det_active)."""
+    """One tracking step. Returns (new_table, id_count, det_tid,
+    det_active, det_refsc)."""
+    table, n_new, tid, used, ref, _ = step_frame_core(
+        table, id_count, dets, time_lag, params)
+    return table, id_count + n_new, tid, used, ref
+
+
+def step_frame_core(table: TrackTable, id_count, dets: FrameDets, time_lag,
+                    params: TrackerParams):
+    """step_frame internals, additionally returning (n_new, is_new).
+
+    With id_count=0 the new-track ids are RELATIVE (1 + within-frame
+    rank): the fused multi-class pipeline runs one core per class lane
+    under vmap, then rebases each lane's new ids by the global id count
+    plus the preceding lanes' n_new — reproducing the merged tracker's
+    det-order id assignment exactly (class-major det rows)."""
     N = dets.ct.shape[0]
     CAP = table.ct.shape[0]
 
@@ -126,7 +141,7 @@ def step_frame(table: TrackTable, id_count, dets: FrameDets, time_lag,
     is_new = dets.valid & ~matched & ~suppressed
     new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     new_tid = id_count + 1 + new_rank
-    id_count = id_count + jnp.sum(is_new)
+    n_new = jnp.sum(is_new)
 
     new_ref = jnp.where(refine & params.merged_mode, beta * dets.score, dets.score)
 
@@ -182,7 +197,7 @@ def step_frame(table: TrackTable, id_count, dets: FrameDets, time_lag,
         dead=scatter(jnp.zeros((CAP,), bool).at[:N].set(jnp.where(det_used, dets.dead, False)), table.dead),
         used=scatter(jnp.zeros((CAP,), bool).at[:N].set(det_used), survive),
     )
-    return new_table, id_count, det_tid, det_used, det_refsc
+    return new_table, n_new, det_tid, det_used, det_refsc, is_new
 
 
 def track_scene(frames: FrameDets, time_lags: jnp.ndarray, params: TrackerParams,

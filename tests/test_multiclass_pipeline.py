@@ -60,10 +60,11 @@ def test_multiclass_shared_trunk(rng):
     assert len(ids1) == len(list(car_ids) + list(bus_ids))
 
 
-def test_fused_program_cached_per_subset():
-    """The fused multi-class step compiles ONE program per active-class
-    subset and caches it (jit is lazy, so building the callables is
-    cheap); repeated subsets reuse the same program object."""
+def test_fused_program_cached_and_subset_via_skip():
+    """The vmapped multi-class step is ONE program regardless of the
+    active-class subset (absent classes ride a skip lane-freeze, so no
+    per-subset recompile happens — the round-4 design compiled one
+    program per subset); fast/safe are the only cached variants."""
     from shasta_tpu.infer import MultiClassScenePipeline, default_tracker_params
 
     cfg90 = _mini_cfg(6)
@@ -72,13 +73,17 @@ def test_fused_program_cached_per_subset():
     b = make_batch(cfg90, 1, 512, n_dets=4)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
     v = car.init(jax.random.PRNGKey(0), batch, train=False)
+    b5 = make_batch(cfg50, 1, 512, n_dets=3)
+    v5 = bus.init(jax.random.PRNGKey(1),
+                  {k: jnp.asarray(x) for k, x in b5.items()}, train=False)
     pipe = MultiClassScenePipeline(
-        class_heads={"car": (car, v), "pedestrian": (ped, v), "bus": (bus, v)},
+        class_heads={"car": (car, v), "pedestrian": (ped, v),
+                     "bus": (bus, v5)},
         trunk_key="car", params=default_tracker_params(max_age=4),
     )
-    f1 = pipe._get_fused(("car", "bus"), fast=False)
-    f2 = pipe._get_fused(("car", "bus"), fast=False)
-    f3 = pipe._get_fused(("car", "pedestrian", "bus"), fast=False)
+    f1 = pipe._get_fused(fast=False)
+    f2 = pipe._get_fused(fast=False)
+    f3 = pipe._get_fused(fast=True)
     assert f1 is f2
     assert f1 is not f3
 

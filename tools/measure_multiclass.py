@@ -74,6 +74,17 @@ def main():
         params=default_tracker_params(max_age=4),
     )
     frame = {k: jnp.asarray(v) for k, v in frame_np.items()}
+    if use_pallas and "--no-plans" not in sys.argv:
+        # host-built sparse-conv plans (built once here: the synthetic
+        # frame repeats; serving builds them in loader prefetch)
+        from shasta_tpu import plans as hp
+
+        fp = hp.frame_plans(frame_np["coordinates"][0],
+                            frame_np["voxels_valid"][0],
+                            heads["car"][0].cfg)
+        assert fp.ok
+        for k, v in fp.arrays.items():
+            frame["plan_" + k] = jnp.asarray(v)
     class_boxes = {
         n: (jnp.asarray(np.zeros((1, m, 11), np.float32)), min(m, 60))
         for n, m in MAX_OBJ.items()

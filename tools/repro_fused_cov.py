@@ -102,7 +102,7 @@ def main():
     from shasta_tpu.models import ShastaConfig
     from shasta_tpu.ops import sparse as sp
     from shasta_tpu.ops.pallas import window_conv as wc
-    from shasta_tpu.ops.pallas.window_conv import (SUBM_KNOBS,
+    from shasta_tpu.ops.pallas.window_conv import (FUSED_SUBM_KNOBS,
                                                    collect_coverage_flags)
 
     # The plan build's compaction calls the Pallas windowed_lookup, which
@@ -146,7 +146,7 @@ def main():
     fi = sp.build_subm_index_fused(st, t)
     print(f"s0.findex ok={bool(fi.ok)}")
     if not bool(fi.ok):
-        tile, W = SUBM_KNOBS.get(16, (256, 384))
+        tile, W = FUSED_SUBM_KNOBS.get(16, (128, 288))
         # rebuild qk as build_subm_index_fused does
         diagnose("s0", st, _subm_qk(st), tile, W, 1)
 
@@ -168,7 +168,7 @@ def main():
             fi = sp.build_subm_index_fused(st, t)
             print(f"{nm}->s.findex ok={bool(fi.ok)}")
             if not bool(fi.ok):
-                tile, W = SUBM_KNOBS.get(Co, (256, 384))
+                tile, W = FUSED_SUBM_KNOBS.get(Co, (128, 288))
                 diagnose(f"{nm}->s", st, _subm_qk(st), tile, W, 1)
 
 

@@ -4,7 +4,7 @@ tile in {128, 256} over several synthetic seeds.
 The fused kernel's VPU cost scales with tile*W*K compares per tile and
 its MXU extraction with tile*W*C — both linear in W at fixed V (T*tile =
 V). The coverage requirement is W >= max per-(tile,group) rank spread +
-FGRAN - 1. This prints that spread so SUBM_KNOBS / backbone knobs can be
+FGRAN - 1. This prints that spread so FUSED_SUBM_KNOBS / backbone knobs can be
 set to the smallest multiple of FGRAN that covers with margin.
 
 Usage: JAX_PLATFORMS=cpu python -u tools/sweep_fused_knobs.py [seeds...]
@@ -24,7 +24,12 @@ V = 120000
 TILES = (128, 256)
 
 
-def spread(phys, qk, tile, D=3):
+def spread(phys, qk, tile, D=3, nwin=2):
+    """Max per-(tile, group) rank spread. nwin=2 splits rank clusters at
+    gap>512 (the adaptive-second-window kernels cover the far cluster
+    separately); ADVICE r4 low: a stage whose kernel runs nwin=1 must be
+    sized from the UNSPLIT span — pass nwin=1 there, and treat any
+    n_2win>0 in the printed summary as a red flag for that stage."""
     from shasta_tpu.ops import sparse as sp
 
     SENT = sp.SENTINEL
@@ -47,7 +52,7 @@ def spread(phys, qk, tile, D=3):
                 continue
             r = np.searchsorted(keys, np.sort(q))
             gaps = np.diff(r)
-            splits = np.nonzero(gaps > 512)[0]
+            splits = np.nonzero(gaps > 512)[0] if nwin == 2 else []
             if len(splits):
                 nw2 += 1
                 segs = np.split(r, splits + 1)
@@ -95,7 +100,9 @@ def main():
         t = sp.key_table_checked(st)
         phys = np.asarray(sp.encode_keys(st.coords, st.valid, st.shape, 1))
         for tile in TILES:
-            s, n2 = spread(phys, _subm_qk(st), tile)
+            # subm fused indices run nwin=1 (sparse.py) — size from the
+            # UNSPLIT span (ADVICE r4 low)
+            s, n2 = spread(phys, _subm_qk(st), tile, nwin=1)
             agg.setdefault(("s0", tile), []).append((s, n2))
         stages = [
             ("d1", (3, 3, 3), (2, 2, 2), (1, 1, 1), cfg.cap_conv2, (256, 512, 2), 32),
@@ -110,7 +117,7 @@ def main():
             qk = _strided_qk(st, plan, ker, strd, pad)
             D = 3 if ker[2] == 3 else 1
             for tile in TILES:
-                s, n2 = spread(phys, qk, tile, D=D)
+                s, n2 = spread(phys, qk, tile, D=D, nwin=knobs[2])
                 agg.setdefault((nm, tile), []).append((s, n2))
             st = sp.SparseTensor(feats=jnp.zeros((cap, Co), jnp.float32),
                                  coords=plan.coords, valid=plan.valid,
@@ -120,7 +127,7 @@ def main():
                                              st.shape, 1))
             if nm != "ex":
                 for tile in TILES:
-                    s, n2 = spread(phys, _subm_qk(st), tile)
+                    s, n2 = spread(phys, _subm_qk(st), tile, nwin=1)
                     agg.setdefault((f"{nm}->s", tile), []).append((s, n2))
         print(f"-- seed {seed} done", flush=True)
 

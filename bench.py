@@ -245,15 +245,21 @@ def _run_single(model, variables, iters: int) -> float:
         params=default_tracker_params(max_age=4),
     )
     _ = pipe.step_frame(frame, N_DETS, 0.5).tid  # warmup/compile
+    from collections import deque
+
+    depth = 2  # outstanding async fetches (the relay round trip is ~2 frames deep)
     t0 = time.perf_counter()
-    prev = None
+    pending: deque = deque()
     for _ in range(iters):
         out = pipe.step_frame(frame, N_DETS, 0.5)
-        if prev is not None:
-            prev.tid  # fetch LAST frame's packed outputs: overlaps compute
-            assert prev.coverage_ok, "pallas coverage flag tripped: bench invalid"
-        prev = out
-    prev.tid
+        out.start_fetch()  # async D2H rides alongside this frame's compute
+        pending.append(out)
+        if len(pending) > depth:
+            done = pending.popleft()
+            done.tid  # consume (already copied)
+            assert done.coverage_ok, "pallas coverage flag tripped: bench invalid"
+    for done in pending:
+        done.tid
     return iters / (time.perf_counter() - t0)
 
 

@@ -68,6 +68,19 @@ class StepOutput:
         self._np = None
         self._eager = eager or None
 
+    def start_fetch(self) -> "StepOutput":
+        """Begin the device->host copy of the packed outputs WITHOUT
+        blocking (jax copy_to_host_async). Through the tunneled-TPU relay
+        a blocking fetch serializes against device execution (~9 ms/frame
+        measured round 5); calling this right after dispatching the NEXT
+        frame's step lets the copy ride alongside its compute."""
+        if self._packed is not None:
+            try:
+                self._packed.copy_to_host_async()
+            except AttributeError:  # non-jax backends / eager outputs
+                pass
+        return self
+
     def _arr(self) -> np.ndarray:
         if self._np is None:
             self._np = np.asarray(self._packed)
@@ -969,30 +982,39 @@ def track_scene_dataset(pipeline: ScenePipeline, dataset, frame_lags=None,
         for s in scene_samples:
             format_out(s, step(s, safe=True))
 
-    # Deferred formatting: frame i's packed fetch + host anno assembly
-    # happen AFTER frame i+1's step is issued, overlapping the RPC round
-    # trip with device compute (the step only consumes device-side carry).
+    # Deferred formatting, TWO frames deep: frame i's packed fetch starts
+    # asynchronously (StepOutput.start_fetch) right after frame i+1's
+    # step is issued and is consumed only after frame i+2's — through the
+    # tunneled-TPU relay a blocking fetch serializes against device
+    # execution (~2 frames of round-trip latency, measured round 5:
+    # 34.8 -> 45.6 f/s on the bench loop).
+    from collections import deque
+
+    DEPTH = 2
     pipeline.reset()
     scene: list = []
     scene_ok = True
-    pending: tuple | None = None
+    pending: deque = deque()
+
+    def drain(all_: bool = False):
+        nonlocal scene_ok
+        while pending and (all_ or len(pending) > DEPTH):
+            scene_ok &= format_out(*pending.popleft())
+
     for i in it:
         sample = dataset[i]
         if not sample["prev_token"]:
-            if pending is not None:
-                scene_ok &= format_out(*pending)
-                pending = None
+            drain(all_=True)
             if not scene_ok:
                 replay_scene(scene)
             pipeline.reset()
             scene, scene_ok = [], True
         scene.append(sample)
         out = step(sample, safe=False)
-        if pending is not None:
-            scene_ok &= format_out(*pending)
-        pending = (sample, out)
-    if pending is not None:
-        scene_ok &= format_out(*pending)
+        out.start_fetch()
+        pending.append((sample, out))
+        drain()
+    drain(all_=True)
     if not scene_ok:
         replay_scene(scene)
     return {"results": results, "meta": {

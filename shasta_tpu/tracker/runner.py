@@ -411,6 +411,10 @@ def run_affinity_eval_batched(
                 prev_boxes, prev_feat,
             )
             n_prev = n_currs_t[-1]
+            try:  # async D2H: don't serialize the relay against compute
+                packed_t.copy_to_host_async()
+            except AttributeError:
+                pass
             if pending is not None:
                 process_chunk(pending)
             pending = (metas, packed_t)
@@ -428,6 +432,10 @@ def run_affinity_eval_batched(
             prev_feat = curr_feat
             prev_boxes = frame["det_boxes"]
             n_prev = np.asarray(n_currs, np.int32)
+            try:  # async D2H (see StepOutput.start_fetch)
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
             if pending is not None:
                 process(pending)
             pending = (lane_samples, active, packed)

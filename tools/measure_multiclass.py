@@ -114,6 +114,10 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         packed, names = pipe.dispatch_frame(frame, class_boxes, 0.5)
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
         if prev is not None:
             pipe.unpack_frame(*prev)
         prev = (packed, names)

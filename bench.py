@@ -16,7 +16,7 @@ budget and fall back to XLA row gathers). Flags:
                 --lanes N: B lanes x T frames per program)
   --b1          force the single-lane latency shape
   --no-pallas   XLA gathers/searchsorted instead of the Pallas kernels
-  --bf16        trunk matmuls in bf16 (f32 accumulation)
+  --f32         full-f32 trunk (default is bf16 matmuls, f32 accumulation)
 
 This is strictly MORE work per frame than the reference's eval step — which
 recomputes BOTH frames' backbones, downloads the affinity matrices, and
@@ -86,7 +86,9 @@ def _make_cfg(lanes: int, force_no_pallas: bool = False):
         cap_extra=12000 * lanes,
         use_pallas_gather=(not force_no_pallas)
         and "--no-pallas" not in sys.argv,
-        dtype=jnp.bfloat16 if "--bf16" in sys.argv else None,
+        # bf16 trunk is the serving default since round 5 (49.3 vs 45.6
+        # f/s on chip; parity test-pinned): --f32 opts out
+        dtype=None if "--f32" in sys.argv else jnp.bfloat16,
         # synthetic frames are key-sorted; skips the stage-0 argsort when
         # one frame is packed per program (B=1 lane), no-op otherwise
         assume_sorted_voxels=True,

@@ -72,7 +72,7 @@ class GroupPlan(NamedTuple):
 
 def _group_plan(keys: np.ndarray, qc: np.ndarray, range_m1: np.ndarray,
                 range_p1: np.ndarray, *, C: int, nwin: int,
-                tile: int = BLOCK_TILE) -> GroupPlan:
+                tile: int = BLOCK_TILE, native: bool = True) -> GroupPlan:
     """Pack PosWords + window bases for one conv geometry.
 
     keys (V,) int64 ascending physical table keys; qc (M, G) int64
@@ -84,6 +84,20 @@ def _group_plan(keys: np.ndarray, qc: np.ndarray, range_m1: np.ndarray,
     _, H, NBWL, NBr, _ = block_geometry(V, C)
     Mp = ((M + tile - 1) // tile) * tile
     T = Mp // tile
+
+    # native fast path (runtime/src/host_ops.cpp plan_group — threaded,
+    # bit-identical to the numpy reference below, which stays the test
+    # oracle and the no-compiler fallback)
+    from . import runtime
+
+    native = None if not native else runtime.plan_group(
+        keys, np.where(qc >= _MASK, _MASK, qc),
+        np.broadcast_to(range_m1, (M, 1)).reshape(M),
+        np.broadcast_to(range_p1, (M, 1)).reshape(M),
+        H=H, NBWL=NBWL, GB=GB, tile=tile, nwin=nwin, NBr=NBr)
+    if native is not None:
+        pos, bases, ok = native
+        return GroupPlan(pos, bases, ok)
 
     j0 = np.searchsorted(keys, qc - 1, side="left")  # (M, G)
 
@@ -201,7 +215,7 @@ def _strided_centers(out_coords: np.ndarray, out_valid: np.ndarray,
 
 def strided_output_keys(coords: np.ndarray, valid: np.ndarray, kernel,
                         stride, padding, max_out: int, in_shape,
-                        batch_size: int):
+                        batch_size: int, native: bool = True):
     """Exact spconv output set, ascending by key with SENTINEL padding —
     mirrors ops.sparse.build_strided_plan's parity-restricted candidate
     enumeration + sorted dedup + smallest-keys truncation bit-for-bit.
@@ -215,6 +229,17 @@ def strided_output_keys(coords: np.ndarray, valid: np.ndarray, kernel,
     OZ = (Z + 2 * pz - kz) // sz + 1
     OY = (Y + 2 * py - ky) // sy + 1
     OX = (X + 2 * px - kx) // sx + 1
+
+    # native fast path (host_ops.cpp strided_out_keys: sort-free k-way
+    # merge over per-tap monotone candidate streams)
+    from . import runtime
+
+    native = None if not native else runtime.strided_out_keys(
+        coords, valid, kernel, stride, padding, in_shape, max_out,
+        int(SENTINEL))
+    if native is not None:
+        return native, (OZ, OY, OX)
+
     b = coords[:, 0].astype(np.int64)
     zyx = coords[:, 1:4].astype(np.int64)
     strides = np.array([sz, sy, sx], np.int64)

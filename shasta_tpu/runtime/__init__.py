@@ -39,7 +39,7 @@ def _load() -> ctypes.CDLL | None:
                 os.makedirs(_BUILD_DIR, exist_ok=True)
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     _SRC, "-o", _LIB_PATH],
+                     "-pthread", _SRC, "-o", _LIB_PATH],
                     check=True, capture_output=True,
                 )
             lib = ctypes.CDLL(_LIB_PATH)
@@ -62,6 +62,19 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint32,
             ]
             lib.crc32c.restype = ctypes.c_uint32
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+            lib.plan_group.argtypes = [
+                i64p, ctypes.c_int, i64p, u8p, u8p, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, u16p, i32p,
+            ]
+            lib.plan_group.restype = ctypes.c_int
+            lib.strided_out_keys.argtypes = [
+                i32p, u8p, ctypes.c_int, i32p, i32p, i32p, i32p,
+                ctypes.c_int, i64p, ctypes.c_int64,
+            ]
+            lib.strided_out_keys.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -165,3 +178,44 @@ def points_to_voxel(points: np.ndarray, voxel_size, coors_range,
     nump = np.zeros((max_voxels,), np.int32)
     m = lib.points_to_voxel(p, n, c, vs, cr, max_points, max_voxels, voxels, coors, nump)
     return voxels[:m], coors[:m], nump[:m]
+
+
+def plan_group(keys: np.ndarray, qc: np.ndarray, rm: np.ndarray,
+               rp: np.ndarray, *, H: int, NBWL: int, GB: int, tile: int,
+               nwin: int, NBr: int):
+    """Native sparse-conv PosWord planner (threaded over tiles); returns
+    (pos (Mp, G) uint16, bases (T, nwin*G) int32, ok) or None when the
+    library is unavailable (caller uses the numpy reference,
+    shasta_tpu/plans.py)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "plan_group"):
+        return None
+    keys = np.ascontiguousarray(keys, np.int64)
+    qc = np.ascontiguousarray(qc, np.int64)
+    M, G = qc.shape
+    T = (M + tile - 1) // tile
+    pos = np.zeros((T * tile, G), np.uint16)
+    bases = np.zeros((T, nwin * G), np.int32)
+    rm1 = np.ascontiguousarray(np.asarray(rm).reshape(M, -1)[:, 0], np.uint8)
+    rp1 = np.ascontiguousarray(np.asarray(rp).reshape(M, -1)[:, 0], np.uint8)
+    ok = lib.plan_group(keys, len(keys), qc, rm1, rp1,
+                        M, G, H, NBWL, GB, tile, nwin, NBr, pos, bases)
+    return pos, bases, bool(ok)
+
+
+def strided_out_keys(coords: np.ndarray, valid: np.ndarray, kernel, stride,
+                     padding, shape, max_out: int, sentinel: int):
+    """Native spconv output-set builder (sort-free k-way merge); returns
+    (max_out,) int64 ascending keys with sentinel pads, or None when the
+    library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "strided_out_keys"):
+        return None
+    out = np.empty((max_out,), np.int64)
+    lib.strided_out_keys(
+        np.ascontiguousarray(coords, np.int32),
+        np.ascontiguousarray(valid, np.uint8), len(coords),
+        np.asarray(kernel, np.int32), np.asarray(stride, np.int32),
+        np.asarray(padding, np.int32), np.asarray(shape, np.int32),
+        max_out, out, sentinel)
+    return out

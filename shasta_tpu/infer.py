@@ -908,9 +908,16 @@ class MultiClassScenePipeline:
 
 
 def track_scene_dataset(pipeline: ScenePipeline, dataset, frame_lags=None,
-                        progress: bool = False) -> dict:
+                        progress: bool = False,
+                        use_host_plans: bool = True) -> dict:
     """Run the pipeline over a dataset of ordered frames; returns
-    tracking_result-style {token: [annos]} using the datasets' cls dicts."""
+    tracking_result-style {token: [annos]} using the datasets' cls dicts.
+
+    use_host_plans (Pallas serving only): build each frame's sparse-conv
+    plans on the host (shasta_tpu/plans.py — C++ runtime when available)
+    and feed the position-fed block kernels; frames whose plans don't
+    fit their windows (planner ok=False) fall back to the in-graph
+    program for that frame."""
     results: dict[str, list] = {}
     it = range(len(dataset))
     if progress:
@@ -939,10 +946,20 @@ def track_scene_dataset(pipeline: ScenePipeline, dataset, frame_lags=None,
             "attribute_name": src.get("attribute_name"),
         }
 
+    plans_on = use_host_plans and pipeline.model.cfg.use_pallas_gather
+
     def step(sample, safe: bool):
         batch = collate([sample])
         n_curr = len(sample["cls_det_boxes"])
         lag = float(sample["det_boxes"][0, 9]) if n_curr else 0.5
+        if plans_on and not safe:
+            from . import plans as hp
+
+            fp = hp.frame_plans(batch["coordinates"][0],
+                                batch["voxels_valid"][0],
+                                pipeline.model.cfg)
+            if fp.ok:
+                batch = hp.attach_plans(batch, fp)
         return pipeline.step_frame(batch, n_curr, lag, safe=safe)
 
     def format_out(sample, out):

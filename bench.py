@@ -72,7 +72,8 @@ def ensure_backend_alive(timeout_s: float = 240.0) -> bool:
     return not str(q.get()).startswith("error")
 
 
-def _make_cfg(lanes: int, force_no_pallas: bool = False):
+def _make_cfg(lanes: int, force_no_pallas: bool = False,
+              force_f32: bool = False):
     import jax.numpy as jnp
 
     from shasta_tpu.models import ShastaConfig
@@ -87,8 +88,9 @@ def _make_cfg(lanes: int, force_no_pallas: bool = False):
         use_pallas_gather=(not force_no_pallas)
         and "--no-pallas" not in sys.argv,
         # bf16 trunk is the serving default since round 5 (49.3 vs 45.6
-        # f/s on chip; parity test-pinned): --f32 opts out
-        dtype=None if "--f32" in sys.argv else jnp.bfloat16,
+        # f/s on chip; parity test-pinned): --f32 opts out. The CPU
+        # fallback stays f32 (bf16 has no fast path there).
+        dtype=None if (force_f32 or "--f32" in sys.argv) else jnp.bfloat16,
         # synthetic frames are key-sorted; skips the stage-0 argsort when
         # one frame is packed per program (B=1 lane), no-op otherwise
         assume_sorted_voxels=True,
@@ -297,7 +299,8 @@ def main():
     # CPU fallback MUST NOT run the Pallas kernels: off-TPU they execute in
     # interpret mode (Python loop per tile) and record garbage (~0.02 f/s in
     # BENCH_r02.json). The XLA path is the honest CPU measurement.
-    cfg = _make_cfg(lanes, force_no_pallas=not on_tpu)
+    cfg = _make_cfg(lanes, force_no_pallas=not on_tpu,
+                    force_f32=not on_tpu)
     model = ShastaModel(cfg)
     batch, _ = _frames(cfg, lanes)
     variables = _random_variables(model, batch)
@@ -331,7 +334,8 @@ def main():
             print(f"WARNING: {lanes}-lane bench failed ({e}); falling back to B=1",
                   file=sys.stderr)
             lanes = 1
-            cfg = _make_cfg(1, force_no_pallas=not on_tpu)
+            cfg = _make_cfg(1, force_no_pallas=not on_tpu,
+                            force_f32=not on_tpu)
             model = ShastaModel(cfg)
             batch, _ = _frames(cfg, 1)
             variables = _random_variables(model, batch)

@@ -50,15 +50,17 @@ W_CONV = 256  # feature window per tile
 # that tile plus one band of headroom where the margin was thin
 # (tools/measure_spans.py; spans at tile 256: s0 255, s1 487, s2 298,
 # s3 294). Lane granularity is 128, so sub-128 W steps change nothing.
-# LEGACY windowed-gather kernel (tile, W) per channel count — the
-# round-3 measured values (tile 256 is 30-40% faster than 128 for this
-# kernel; positional spans at tile 256: s0 255, s1 487, s2 298, s3 294).
-# Used by windowed_gather_matmul's default (the B>1/lanes batch path).
-# ADVICE r4 medium: these were briefly shared with the fused kernel's
-# retuned values, silently shrinking the batch path's windows — now
-# split again (FUSED_SUBM_KNOBS below).
-SUBM_KNOBS = {16: (256, 384), 32: (256, 640), 64: (256, 384),
-              128: (256, 384)}
+# LEGACY windowed-gather kernel (tile, W) per channel count, used by
+# windowed_gather_matmul's default (the B>1/lanes batch path). ADVICE r4
+# medium: split from the fused kernel's knobs (FUSED_SUBM_KNOBS below)
+# so retunes of one kernel can't silently resize the other's windows.
+# Values: the round-4 tile-128 set — restoring the round-3 tile-256
+# values here segfaults XLA:CPU compiling the lane-split lax.cond at the
+# test shapes (round-5 full-suite run), and the 30-40% tile-256 win was
+# never re-measured for this kernel on the current code; re-measure on
+# chip (tools/probe_conv.py --round2) before changing.
+SUBM_KNOBS = {16: (128, 288), 32: (128, 384), 64: (128, 256),
+              128: (128, 256)}
 # Fused lookup-conv kernel (tile, window) per channel count. Windows are
 # the per-(tile, group) max key-rank CLUSTER spread measured at release
 # scale over synthetic seeds (tools/sweep_fused_knobs.py: s0 194,

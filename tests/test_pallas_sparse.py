@@ -572,11 +572,10 @@ def test_fused_strided_conv_matches_xla(rng):
     knobs = (256, 384, 2)
     plan_f = sp.build_strided_plan(st, *args, table=tbl, use_pallas=True,
                                    fused=True, knobs=knobs)
-    # C_in <= 32 routes to the block-extraction kernel (block_conv.py);
-    # either fused index type must keep the same exactness contract
-    from shasta_tpu.ops.pallas.block_conv import BlockIndex
-
-    assert isinstance(plan_f.gather, (FusedIndex, BlockIndex))
+    # (the HOST-plan serving path replaces this index with a PosIndex —
+    # ops/pallas/block_conv.py — but the in-graph builder stays on the
+    # key-compare FusedIndex for training/batch/multichip)
+    assert isinstance(plan_f.gather, FusedIndex)
     np.testing.assert_array_equal(np.asarray(plan_f.coords),
                                   np.asarray(plan_ref.coords))
     np.testing.assert_array_equal(np.asarray(plan_f.valid),
